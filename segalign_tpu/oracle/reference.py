@@ -400,14 +400,21 @@ def seed_and_filter(seed_offsets: List[Tuple[int, int]],
                     sub: np.ndarray, xdrop: int, hspthresh: int,
                     noentropy: bool, max_hits: int,
                     window: Tuple[int, int] | None = None,
-                    rm_mode: bool = False, rev: bool = False
+                    rm_mode: bool = False, rev: bool = False,
+                    use_scan: bool = True
                     ) -> Tuple[List[SegmentPair], int]:
     """Oracle of one SeedAndFilter call. Returns (hsps, num_hits).
 
     window=(ref_start, ref_end) enables the repeat-masker in-window filter
     (repeat_masker_src/seed_filter.cu:239-244); rm_mode selects the RM dedup
     chain and the minus-strand coordinate remap (rev + len(ref) block length).
+    use_scan selects the vectorized scan-form extender (default; equivalent
+    to the literal tile-32 loop, see tests/test_extension_oracle.py).
     """
+    if use_scan:
+        from .scan_spec import extend_hit_scan as _extend
+    else:
+        _extend = extend_hit_tile32
     if not seed_offsets:
         return [], 0
     kmers = np.array([k for k, _ in seed_offsets], dtype=np.int64)
@@ -429,7 +436,7 @@ def seed_and_filter(seed_offsets: List[Tuple[int, int]],
                 query_loc = int(qpos[si]) + seed_size
                 if window is not None and not (window[0] <= ref_loc <= window[1]):
                     continue
-                ok, rs, qs, ln, sc = extend_hit_tile32(
+                ok, rs, qs, ln, sc = _extend(
                     ref, query, ref_loc, query_loc, sub, xdrop, hspthresh,
                     noentropy)
                 if ok:

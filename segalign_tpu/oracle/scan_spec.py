@@ -34,17 +34,19 @@ def _scan_direction(scores: np.ndarray, xdrop: int):
     Internally positions here are 0-based; the caller maps to the
     reference's conventions (right: pos 0 = anchor; left: pos 1 = first
     char before anchor)."""
-    cum = 0
-    m = 0
-    mpos = -1  # no position included yet
-    for p in range(len(scores)):
-        cum += int(scores[p])
-        if cum > m:
-            m = cum
-            mpos = p
-        if (m - cum) > xdrop:
-            return m, mpos, p
-    return m, mpos, len(scores)
+    if len(scores) == 0:
+        return 0, -1, 0
+    cum = np.cumsum(scores)
+    m = np.maximum(np.maximum.accumulate(cum), 0)
+    drop = (m - cum) > xdrop
+    ph = int(np.argmax(drop)) if drop.any() else len(scores)
+    if ph == 0:
+        return 0, -1, 0
+    pre = cum[:ph]
+    best = int(pre.max())
+    if best <= 0:
+        return 0, -1, ph
+    return best, int(np.argmax(pre)), ph
 
 
 def extend_hit_scan(ref: np.ndarray, query: np.ndarray, ref_loc: int,

@@ -1,0 +1,233 @@
+"""Per-chunk device pipeline: seeds -> hits -> extension -> candidates.
+
+This is the TPU-native replacement for SeedAndFilter
+(/root/reference/src/seed_filter.cu:682-828). Differences by design:
+
+  - No GPU checkout pool: a single JAX device (or a mesh) receives all
+    chunks; parallelism comes from batching, not device juggling.
+  - The sequence blocks, seed tables, and seeds stay resident on device;
+    only scalars and compacted candidate HSPs cross the host boundary.
+  - Hit batching: the reference dedups per iteration batch of at most
+    MAX_HITS hits (memory-bound on GPU). We keep the same LOGICAL batch
+    boundaries for output parity (config.max_hits), but process each batch
+    in fixed HBUF-sized device buffers independent of that setting.
+  - Entropy finalization and dedup run on host (float64 + thrust-exact
+    chains); see ops/finalize.py and ops/dedup.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.seed_table import build_seed_table
+from ..ops.extend import extend_hits, pad_sequence
+from ..ops.seeding import chunk_seeds
+from ..ops.hits import expand_hits, compact_mask
+from ..ops.finalize import finalize_candidates
+from ..ops.dedup import dedup_pairwise, dedup_rm
+
+DEFAULT_MAX_HITS = 4194304 * 16  # reference: MAX_HITS_PER_GB * gpu_mem_gb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("HBUF", "B", "W", "pad", "rm_window"))
+def _process_hit_range(ref_pad, query_pad, pos_table, cum, starts, qpos,
+                       sub_flat, g0, g1, ref_len, query_len, xdrop,
+                       hspthresh, seed_size, win_lo, win_hi, *,
+                       HBUF: int, B: int, W: int, pad: int, rm_window: bool):
+    ref_loc, query_loc, valid = expand_hits(
+        cum, starts, qpos, pos_table, g0, g1, seed_size, HBUF=HBUF)
+    if rm_window:
+        valid = valid & (ref_loc >= win_lo) & (ref_loc <= win_hi)
+
+    nb = HBUF // B
+    xs = dict(rl=ref_loc.reshape(nb, B), ql=query_loc.reshape(nb, B),
+              v=valid.reshape(nb, B))
+
+    def f(x):
+        r = extend_hits(ref_pad, query_pad, x["rl"], x["ql"], x["v"],
+                        sub_flat, xdrop, hspthresh, ref_len, query_len,
+                        pad=pad, W=W)
+        return r
+
+    res = jax.lax.map(f, xs)
+    cand = res["candidate"].reshape(-1)
+    rs = res["rs"].reshape(-1)
+    qs = res["qs"].reshape(-1)
+    ln = res["length"].reshape(-1)
+    total = res["total"].reshape(-1)
+    counts = res["counts"].reshape(HBUF, 4)
+    return compact_mask(cand, rs, qs, ln, total, counts)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iter",))
+def _plan_limits(cum, num_hits, max_hits, *, num_iter: int):
+    """Device version of the iteration-batching chain
+    (seed_filter.cu:718-741). Returns (limit_pos[num_iter-1] seed indices,
+    their cum values)."""
+    limit0 = jnp.minimum(num_hits, max_hits)
+
+    def body(limit, _):
+        pos = jnp.searchsorted(cum, limit, side="left").astype(jnp.int32) - 1
+        val = jnp.where(pos >= 0, jnp.take(cum, jnp.maximum(pos, 0)), 0)
+        nxt = jnp.minimum(val + max_hits, num_hits)
+        return nxt, (pos, val)
+
+    _, (poss, vals) = jax.lax.scan(body, limit0, None, length=num_iter - 1)
+    return poss, vals
+
+
+@dataclass
+class ChunkResult:
+    hsps: np.ndarray       # (n, 4) int64: ref_start, query_start, len, score
+    num_hits: int
+    num_seeds: int
+
+
+class DeviceAligner:
+    """Holds device-resident state for one (ref block, query block) pair and
+    runs per-chunk seed-filter-extend calls."""
+
+    def __init__(self, *, shape_pos, seed_size, transition, step, sub_mat,
+                 xdrop, hspthresh, noentropy, chunk_size,
+                 max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 18,
+                 B: int = 1 << 14, W: int = 128, rm_mode: bool = False,
+                 device=None):
+        self.shape_pos = tuple(shape_pos)
+        self.seed_size = seed_size
+        self.kmer_size = len(shape_pos)
+        self.transition = transition
+        self.step = step
+        self.xdrop = xdrop
+        self.hspthresh = hspthresh
+        self.noentropy = noentropy
+        self.chunk_size = chunk_size
+        self.max_hits = max_hits
+        self.HBUF = HBUF
+        self.B = B
+        self.W = W
+        self.pad = W
+        self.rm_mode = rm_mode
+        self.device = device or jax.devices()[0]
+        self.sub_flat = jax.device_put(
+            jnp.asarray(np.asarray(sub_mat).reshape(-1), dtype=jnp.int32),
+            self.device)
+        self.ref_pad = None
+        self.ref_len = 0
+        self.index_table = None
+        self.pos_table = None
+        self.q_fw = None
+        self.q_rc = None
+        self.q_len = 0
+
+    # -- block management (analog of SendRefWriteRequest / SendQuery...) ----
+
+    def set_ref(self, ref_codes: np.ndarray):
+        self.ref_len = len(ref_codes)
+        self.ref_pad = jax.device_put(pad_sequence(ref_codes, self.pad),
+                                      self.device)
+        index_table, pos_table = build_seed_table(
+            ref_codes, self.step, self.shape_pos, self.seed_size,
+            self.kmer_size)
+        self.index_table = jax.device_put(index_table, self.device)
+        if len(pos_table) == 0:
+            pos_table = np.zeros(1, np.int32)
+        self.pos_table = jax.device_put(pos_table, self.device)
+
+    def set_query(self, fw_codes: np.ndarray, rc_codes: np.ndarray):
+        self.q_len = len(fw_codes)
+        rp = max(self.pad, self.chunk_size + self.seed_size + 1)
+        self.q_fw = jax.device_put(pad_sequence(fw_codes, self.pad, rp),
+                                   self.device)
+        self.q_rc = jax.device_put(pad_sequence(rc_codes, self.pad, rp),
+                                   self.device)
+
+    # -- per-chunk call (analog of SeedAndFilter) ---------------------------
+
+    def seed_and_filter(self, chunk_start: int, chunk_end: int, rev: bool,
+                        window: Optional[Tuple[int, int]] = None
+                        ) -> ChunkResult:
+        CHUNK = self.chunk_size
+        q = self.q_rc if rev else self.q_fw
+        kmers, qpos, valid, starts, cum = chunk_seeds(
+            q, self.index_table, chunk_start, chunk_end - chunk_start,
+            CHUNK=CHUNK, seed_size=self.seed_size, shape_pos=self.shape_pos,
+            transition=self.transition, pad=self.pad)
+        num_seeds = int(jnp.sum(valid))
+        if num_seeds == 0:
+            return ChunkResult(np.zeros((0, 4), np.int64), 0, 0)
+        num_hits = int(cum[-1])
+        if num_hits == 0:
+            return ChunkResult(np.zeros((0, 4), np.int64), 0, num_seeds)
+
+        # logical batch boundaries (reference-exact)
+        if num_hits < self.max_hits:
+            num_iter = 2
+        else:
+            num_iter = num_hits // self.max_hits + 2
+        poss, vals = _plan_limits(cum, num_hits, self.max_hits,
+                                  num_iter=num_iter)
+        poss = np.asarray(poss)
+        vals = np.asarray(vals)
+        S = int(cum.shape[0])
+        limit_pos = list(poss) + [S - 1]
+        hit_bound = list(vals) + [num_hits]
+        if num_iter >= 2 and limit_pos[-1] == limit_pos[-2]:
+            limit_pos.pop()
+            hit_bound.pop()
+
+        all_out: List[np.ndarray] = []
+        h0 = 0
+        for bi in range(len(limit_pos)):
+            h1 = int(hit_bound[bi])
+            if h1 <= h0:
+                continue
+            parts = []
+            for g0 in range(h0, h1, self.HBUF):
+                g1 = min(g0 + self.HBUF, h1)
+                win_lo, win_hi = window if window else (0, 0)
+                n, rs, qs, ln, total, counts = _process_hit_range(
+                    self.ref_pad, q, self.pos_table, cum, starts, qpos,
+                    self.sub_flat, g0, g1, self.ref_len, self.q_len,
+                    self.xdrop, self.hspthresh, self.seed_size,
+                    win_lo, win_hi, HBUF=self.HBUF, B=self.B, W=self.W,
+                    pad=self.pad, rm_window=window is not None)
+                n = int(n)
+                if n:
+                    parts.append((np.asarray(rs[:n]), np.asarray(qs[:n]),
+                                  np.asarray(ln[:n]), np.asarray(total[:n]),
+                                  np.asarray(counts[:n])))
+            h0 = h1
+            if not parts:
+                continue
+            rs = np.concatenate([p[0] for p in parts]).astype(np.int64)
+            qs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+            ln = np.concatenate([p[2] for p in parts]).astype(np.int64)
+            total = np.concatenate([p[3] for p in parts]).astype(np.int64)
+            counts = np.concatenate([p[4] for p in parts]).astype(np.int64)
+
+            accepted, scores = finalize_candidates(
+                rs, qs, ln, total, counts, self.hspthresh, self.noentropy)
+            if not accepted.any():
+                continue
+            rs, qs, ln, sc = (rs[accepted], qs[accepted], ln[accepted],
+                              scores[accepted])
+            if self.rm_mode and rev:
+                # minus-strand remap (repeat_masker_src/seed_filter.cu:705-709)
+                qs = self.ref_len - 1 - (qs + ln)
+            if self.rm_mode:
+                rs, qs, ln, sc = dedup_rm(rs, qs, ln, sc)
+            else:
+                rs, qs, ln, sc = dedup_pairwise(rs, qs, ln, sc)
+            all_out.append(np.stack([rs, qs, ln, sc], axis=1))
+
+        hsps = (np.concatenate(all_out, axis=0) if all_out
+                else np.zeros((0, 4), np.int64))
+        return ChunkResult(hsps, num_hits, num_seeds)
