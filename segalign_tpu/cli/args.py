@@ -1,0 +1,120 @@
+"""Command-line parsing mirroring the reference's boost::program_options
+surface (/root/reference/src/main.cpp:61-157 and
+repeat_masker_src/main.cpp:43-126)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import Config, RMConfig
+from ..constants import (
+    DEFAULT_WGA_CHUNK, DEFAULT_LASTZ_INTERVAL, DEFAULT_SEQ_BLOCK_SIZE,
+    DEFAULT_SEQ_BLOCK_SIZE_RM, VERSION)
+
+
+def build_pairwise_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="run_segalign",
+        description="SegAlign-TPU: pairwise whole-genome aligner "
+                    "(seed-filter-extend, LASTZ-compatible)")
+    p.add_argument("target", nargs="?", help="target sequence file (FASTA)")
+    p.add_argument("query", nargs="?", help="query sequence file (FASTA)")
+    p.add_argument("data_folder", nargs="?", default="",
+                   help="folder with 2bit files (internal)")
+    p.add_argument("--strand", default="both",
+                   choices=["plus", "minus", "both"])
+    p.add_argument("--scoring", default="",
+                   help="scoring file in LASTZ format (passed to lastz)")
+    p.add_argument("--ambiguous", default="",
+                   help="ambiguous nucleotides - n/iupac")
+    p.add_argument("--seed", default="12of19", dest="seed_shape")
+    p.add_argument("--step", type=int, default=1)
+    p.add_argument("--notransition", action="store_true")
+    p.add_argument("--xdrop", type=int, default=910)
+    p.add_argument("--hspthresh", type=int, default=3000)
+    p.add_argument("--noentropy", action="store_true")
+    p.add_argument("--nogapped", action="store_true")
+    p.add_argument("--ydrop", type=int, default=9430)
+    p.add_argument("--gappedthresh", type=int, default=None)
+    p.add_argument("--notrivial", action="store_true")
+    p.add_argument("--format", default="maf-", dest="output_format")
+    p.add_argument("--output", default="")
+    p.add_argument("--markend", action="store_true")
+    p.add_argument("--wga_chunk_size", type=int, default=DEFAULT_WGA_CHUNK)
+    p.add_argument("--lastz_interval_size", type=int,
+                   default=DEFAULT_LASTZ_INTERVAL)
+    p.add_argument("--seq_block_size", type=int,
+                   default=DEFAULT_SEQ_BLOCK_SIZE)
+    p.add_argument("--num_gpu", "--num_devices", type=int, default=-1,
+                   dest="num_devices")
+    p.add_argument("--max_hits", type=int, default=0,
+                   help="iteration-batch size (reference: 4194304 per GB of "
+                        "GPU memory); affects dedup batch boundaries")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--version", action="version",
+                   version=f"SegAlign-TPU Version: {VERSION}")
+    return p
+
+
+def pairwise_config_from_args(a) -> Config:
+    return Config(
+        reference_filename=a.target or "",
+        query_filename=a.query or "",
+        data_folder=a.data_folder or "",
+        strand=a.strand, scoring_file=a.scoring, ambiguous=a.ambiguous,
+        seed_shape=a.seed_shape, step=a.step, notransition=a.notransition,
+        xdrop=a.xdrop, hspthresh=a.hspthresh, noentropy=a.noentropy,
+        gapped=not a.nogapped, ydrop=a.ydrop, gappedthresh=a.gappedthresh,
+        notrivial=a.notrivial, output_format=a.output_format,
+        output=a.output, markend=a.markend,
+        wga_chunk_size=a.wga_chunk_size,
+        lastz_interval_size=a.lastz_interval_size,
+        seq_block_size=a.seq_block_size, num_devices=a.num_devices,
+        max_hits=a.max_hits, debug=a.debug)
+
+
+def build_rm_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="run_segalign_repeat_masker",
+        description="SegAlign-TPU repeat masker: self-alignment coverage "
+                    "intervals")
+    p.add_argument("seq_file", nargs="?", help="sequence file (FASTA)")
+    p.add_argument("--strand", default="both",
+                   choices=["plus", "minus", "both"])
+    p.add_argument("--neighbor_proportion", type=float, default=0.2)
+    p.add_argument("--scoring", default="")
+    p.add_argument("--ambiguous", default="")
+    p.add_argument("--seed", default="12of19", dest="seed_shape")
+    p.add_argument("--step", type=int, default=1)
+    p.add_argument("--notransition", action="store_true")
+    p.add_argument("--xdrop", type=int, default=910)
+    p.add_argument("--hspthresh", type=int, default=3000)
+    p.add_argument("--noentropy", action="store_true")
+    p.add_argument("--M", type=int, default=1)
+    p.add_argument("--markend", action="store_true")
+    p.add_argument("--output", default="")
+    p.add_argument("--wga_chunk_size", type=int, default=DEFAULT_WGA_CHUNK)
+    p.add_argument("--lastz_interval_size", type=int,
+                   default=DEFAULT_LASTZ_INTERVAL)
+    p.add_argument("--seq_block_size", type=int,
+                   default=DEFAULT_SEQ_BLOCK_SIZE_RM)
+    p.add_argument("--num_gpu", "--num_devices", type=int, default=-1,
+                   dest="num_devices")
+    p.add_argument("--max_hits", type=int, default=0)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--version", action="version",
+                   version=f"SegAlign-TPU Version: {VERSION}")
+    return p
+
+
+def rm_config_from_args(a) -> RMConfig:
+    return RMConfig(
+        seq_filename=a.seq_file or "",
+        strand=a.strand, neighbor_proportion=a.neighbor_proportion,
+        scoring_file=a.scoring, ambiguous=a.ambiguous,
+        seed_shape=a.seed_shape, step=a.step, notransition=a.notransition,
+        xdrop=a.xdrop, hspthresh=a.hspthresh, noentropy=a.noentropy,
+        M=a.M, markend=a.markend, wga_chunk_size=a.wga_chunk_size,
+        lastz_interval_size=a.lastz_interval_size,
+        seq_block_size=a.seq_block_size, num_devices=a.num_devices,
+        max_hits=a.max_hits, debug=a.debug)

@@ -185,6 +185,8 @@ class Config:
     max_seeds: int = 0          # 0 => derived like the reference (13x or 1x chunk)
     max_hits: int = 0           # 0 => derived from device memory
     use_pallas: bool = True     # use the Pallas extension kernel when on TPU
+    device_hbuf: int = 0        # hit-buffer slots per device dispatch (0=auto)
+    device_batch: int = 0       # extension sub-batch rows (0=auto)
 
     seed: SeedConfig = None
     sub_mat: np.ndarray = None

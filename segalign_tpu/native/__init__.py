@@ -1,0 +1,86 @@
+"""ctypes bindings for the native host runtime (libsegalign_native.so).
+
+Builds on first import if the shared library is missing or stale; all
+callers fall back to the pure-numpy implementations when the toolchain is
+unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "native.cpp")
+_LIB = os.path.join(_DIR, "libsegalign_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.check_call(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _LIB],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_LIB)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        for name in ("dedup_pairwise", "dedup_rm"):
+            fn = getattr(lib, name)
+            fn.argtypes = [i64p, i64p, i64p, i64p, ctypes.c_int64]
+            fn.restype = ctypes.c_int64
+        for name in ("encode_bytes", "revcomp_codes"):
+            fn = getattr(lib, name)
+            fn.argtypes = [u8p, u8p, ctypes.c_int64]
+            fn.restype = None
+        _lib = lib
+        return _lib
+    except Exception as e:  # pragma: no cover
+        print(f"segalign_tpu: native lib unavailable ({e}); "
+              f"using numpy fallbacks", file=sys.stderr)
+        return None
+
+
+def _as_i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def dedup_pairwise_native(rs, qs, ln, sc):
+    lib = get_lib()
+    if lib is None:
+        return None
+    rs, qs, ln, sc = (np.ascontiguousarray(a, np.int64)
+                      for a in (rs, qs, ln, sc))
+    m = lib.dedup_pairwise(_as_i64p(rs), _as_i64p(qs), _as_i64p(ln),
+                           _as_i64p(sc), len(rs))
+    return rs[:m], qs[:m], ln[:m], sc[:m]
+
+
+def dedup_rm_native(rs, qs, ln, sc):
+    lib = get_lib()
+    if lib is None:
+        return None
+    rs, qs, ln, sc = (np.ascontiguousarray(a, np.int64)
+                      for a in (rs, qs, ln, sc))
+    m = lib.dedup_rm(_as_i64p(rs), _as_i64p(qs), _as_i64p(ln),
+                     _as_i64p(sc), len(rs))
+    return rs[:m], qs[:m], ln[:m], sc[:m]

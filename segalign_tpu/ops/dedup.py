@@ -43,7 +43,7 @@ def _containment_chain(diag, rs, end, rs_key_same_group):
     return kept
 
 
-def dedup_pairwise(rs, qs, ln, sc):
+def dedup_pairwise(rs, qs, ln, sc, use_native: bool = True):
     """Pairwise-mode dedup of one hit batch. Inputs/outputs int64 arrays;
     returns (rs, qs, ln, sc) in final LASTZ output order."""
     rs = np.asarray(rs, np.int64)
@@ -52,6 +52,11 @@ def dedup_pairwise(rs, qs, ln, sc):
     sc = np.asarray(sc, np.int64)
     if len(rs) == 0:
         return rs, qs, ln, sc
+    if use_native:
+        from ..native import dedup_pairwise_native
+        r = dedup_pairwise_native(rs, qs, ln, sc)
+        if r is not None:
+            return r
     diag = _diag_u32(rs, qs)
     # hspComp: diag, ref_start, len asc; score desc (stable)
     order = np.lexsort((-sc, ln, rs, diag))
@@ -64,7 +69,7 @@ def dedup_pairwise(rs, qs, ln, sc):
     return rs2[order2], qs2[order2], ln2[order2], sc2[order2]
 
 
-def dedup_rm(rs, qs, ln, sc):
+def dedup_rm(rs, qs, ln, sc, use_native: bool = True):
     """Repeat-masker-mode dedup of one hit batch
     (repeat_masker_src/seed_filter.cu:819-831):
       sort hspComp(qs, len desc, rs, score desc) -> unique(exact equality)
@@ -76,6 +81,11 @@ def dedup_rm(rs, qs, ln, sc):
     sc = np.asarray(sc, np.int64)
     if len(rs) == 0:
         return rs, qs, ln, sc
+    if use_native:
+        from ..native import dedup_rm_native
+        r = dedup_rm_native(rs, qs, ln, sc)
+        if r is not None:
+            return r
 
     order = np.lexsort((-sc, rs, -ln, qs))
     rs_s, qs_s, ln_s, sc_s = (a[order] for a in (rs, qs, ln, sc))
