@@ -1,0 +1,101 @@
+"""Multi-device work distribution.
+
+TPU-native replacement for the reference's multi-GPU checkout pool
+(/root/reference/common/seed_filter_interface.cu:6-9 + the mutex/cv checkout
+in src/seed_filter.cu:700-706): every device holds a replicated copy of the
+current reference block + seed table and of the query block; wga chunks are
+the unit of work, pulled from a shared queue by one host thread per device
+(JAX releases the GIL during device execution, so threads overlap compute,
+transfers, and host-side dedup).
+
+The seed table is built ONCE on host and replicated — the same
+replicate-tables / partition-queries scheme as the reference. A k-mer-range
+sharded table with all_to_all seed routing is the planned scale-out mode for
+tables that exceed one chip's HBM (see SURVEY.md section 2).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..index.seed_table import build_seed_table
+from ..pipeline.device import DeviceAligner, ChunkResult
+
+
+@dataclass
+class ChunkWork:
+    chunk_start: int
+    chunk_end: int
+    rev: bool
+    window: Optional[Tuple[int, int]] = None
+
+
+class MultiDeviceAligner:
+    """Farm chunks over N devices with replicated block state."""
+
+    def __init__(self, *, num_devices: int = -1, devices=None, **kw):
+        if devices is None:
+            devices = jax.devices()
+            if num_devices > 0:
+                devices = devices[:num_devices]
+        self.devices = devices
+        self.aligners = [DeviceAligner(device=d, **kw) for d in devices]
+        a0 = self.aligners[0]
+        self._table_args = (a0.step, a0.shape_pos, a0.seed_size, a0.kmer_size)
+
+    @property
+    def num_devices(self) -> int:
+        return len(self.aligners)
+
+    def set_ref(self, ref_codes: np.ndarray):
+        step, shape_pos, seed_size, kmer_size = self._table_args
+        tables = build_seed_table(ref_codes, step, shape_pos, seed_size,
+                                  kmer_size)
+        for a in self.aligners:
+            a.set_ref(ref_codes, tables=tables)
+
+    def set_query(self, fw_codes: np.ndarray, rc_codes: np.ndarray):
+        for a in self.aligners:
+            a.set_query(fw_codes, rc_codes)
+
+    def map_chunks(self, work: List[ChunkWork]) -> List[ChunkResult]:
+        """Process chunks across all devices; results in input order."""
+        if len(self.aligners) == 1:
+            return [self.aligners[0].seed_and_filter(
+                w.chunk_start, w.chunk_end, w.rev, window=w.window)
+                for w in work]
+
+        q: "queue.Queue[tuple[int, ChunkWork]]" = queue.Queue()
+        for i, w in enumerate(work):
+            q.put((i, w))
+        results: List[Optional[ChunkResult]] = [None] * len(work)
+        errors: List[BaseException] = []
+
+        def worker(aligner: DeviceAligner):
+            while True:
+                try:
+                    i, w = q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    results[i] = aligner.seed_and_filter(
+                        w.chunk_start, w.chunk_end, w.rev, window=w.window)
+                except BaseException as e:  # surface to caller
+                    errors.append(e)
+                    return
+
+        threads = [threading.Thread(target=worker, args=(a,))
+                   for a in self.aligners]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        return results  # type: ignore[return-value]

@@ -37,11 +37,12 @@ DEFAULT_MAX_HITS = 4194304 * 16  # reference: MAX_HITS_PER_GB * gpu_mem_gb
 
 @functools.partial(
     jax.jit,
-    static_argnames=("HBUF", "B", "W", "pad", "rm_window"))
+    static_argnames=("HBUF", "B", "W", "pad", "rm_window", "twophase"))
 def _process_hit_range(ref_pad, query_pad, pos_table, cum, starts, qpos,
                        sub_flat, g0, g1, ref_len, query_len, xdrop,
                        hspthresh, seed_size, win_lo, win_hi, *,
-                       HBUF: int, B: int, W: int, pad: int, rm_window: bool):
+                       HBUF: int, B: int, W: int, pad: int, rm_window: bool,
+                       twophase: bool):
     ref_loc, query_loc, valid = expand_hits(
         cum, starts, qpos, pos_table, g0, g1, seed_size, HBUF=HBUF)
     if rm_window:
@@ -52,6 +53,12 @@ def _process_hit_range(ref_pad, query_pad, pos_table, cum, starts, qpos,
               v=valid.reshape(nb, B))
 
     def f(x):
+        if twophase:
+            from ..ops.extend2 import extend_hits_twophase
+            return extend_hits_twophase(
+                ref_pad, query_pad, x["rl"], x["ql"], x["v"], sub_flat,
+                xdrop, hspthresh, ref_len, query_len, pad=pad, W=W,
+                LW=pad, RW=pad)
         r = extend_hits(ref_pad, query_pad, x["rl"], x["ql"], x["v"],
                         sub_flat, xdrop, hspthresh, ref_len, query_len,
                         pad=pad, W=W)
@@ -99,7 +106,7 @@ class DeviceAligner:
                  xdrop, hspthresh, noentropy, chunk_size,
                  max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 18,
                  B: int = 1 << 14, W: int = 128, rm_mode: bool = False,
-                 device=None):
+                 twophase: bool = True, window: int = 512, device=None):
         self.shape_pos = tuple(shape_pos)
         self.seed_size = seed_size
         self.kmer_size = len(shape_pos)
@@ -113,7 +120,10 @@ class DeviceAligner:
         self.HBUF = HBUF
         self.B = B
         self.W = W
-        self.pad = W
+        self.twophase = twophase
+        # the two-phase extender gathers `window`-wide slices either side of
+        # each anchor; padding must cover the farthest reach
+        self.pad = max(W, window) if twophase else W
         self.rm_mode = rm_mode
         self.device = device or jax.devices()[0]
         self.sub_flat = jax.device_put(
@@ -129,13 +139,18 @@ class DeviceAligner:
 
     # -- block management (analog of SendRefWriteRequest / SendQuery...) ----
 
-    def set_ref(self, ref_codes: np.ndarray):
+    def set_ref(self, ref_codes: np.ndarray, tables=None):
+        """tables: optional precomputed (index_table, pos_table) so a shared
+        host build can be replicated across devices (the reference uploads
+        one host-built table to every GPU, seed_pos_table.cu:33-47)."""
         self.ref_len = len(ref_codes)
         self.ref_pad = jax.device_put(pad_sequence(ref_codes, self.pad),
                                       self.device)
-        index_table, pos_table = build_seed_table(
-            ref_codes, self.step, self.shape_pos, self.seed_size,
-            self.kmer_size)
+        if tables is None:
+            tables = build_seed_table(
+                ref_codes, self.step, self.shape_pos, self.seed_size,
+                self.kmer_size)
+        index_table, pos_table = tables
         self.index_table = jax.device_put(index_table, self.device)
         if len(pos_table) == 0:
             pos_table = np.zeros(1, np.int32)
@@ -148,6 +163,11 @@ class DeviceAligner:
                                    self.device)
         self.q_rc = jax.device_put(pad_sequence(rc_codes, self.pad, rp),
                                    self.device)
+
+    def map_chunks(self, work):
+        """Sequential chunk processing (MultiDeviceAligner-compatible)."""
+        return [self.seed_and_filter(w.chunk_start, w.chunk_end, w.rev,
+                                     window=w.window) for w in work]
 
     # -- per-chunk call (analog of SeedAndFilter) ---------------------------
 
@@ -198,7 +218,8 @@ class DeviceAligner:
                     self.sub_flat, g0, g1, self.ref_len, self.q_len,
                     self.xdrop, self.hspthresh, self.seed_size,
                     win_lo, win_hi, HBUF=self.HBUF, B=self.B, W=self.W,
-                    pad=self.pad, rm_window=window is not None)
+                    pad=self.pad, rm_window=window is not None,
+                    twophase=self.twophase)
                 n = int(n)
                 if n:
                     parts.append((np.asarray(rs[:n]), np.asarray(qs[:n]),

@@ -23,7 +23,7 @@ from ..config import Config
 from ..io.fasta import read_fasta
 from ..io.blocks import build_arena, plan_intervals, chunk_interval
 from ..output.segments import PrinterContext, write_interval_segments
-from .device import DeviceAligner
+from ..parallel.multi import MultiDeviceAligner, ChunkWork
 
 
 @dataclass
@@ -87,11 +87,13 @@ def run_pairwise(cfg: Config, out_dir: str,
         extra["HBUF"] = cfg.device_hbuf
     if cfg.device_batch:
         extra["B"] = cfg.device_batch
-    aligner = DeviceAligner(
+    aligner = MultiDeviceAligner(
+        num_devices=cfg.num_devices, devices=devices,
         shape_pos=cfg.seed.shape_pos, seed_size=cfg.seed.size,
         transition=cfg.seed.transition, step=cfg.step, sub_mat=cfg.sub_mat,
         xdrop=cfg.xdrop, hspthresh=cfg.hspthresh, noentropy=cfg.noentropy,
         chunk_size=cfg.wga_chunk_size, **extra)
+    log(f"Using {aligner.num_devices} device(s)")
 
     do_plus = cfg.strand in ("plus", "both")
     do_minus = cfg.strand in ("minus", "both")
@@ -118,27 +120,26 @@ def run_pairwise(cfg: Config, out_dir: str,
                         f"{iv.num_invoked}/{iv.num_intervals} "
                         f"({iv.start}:{iv.end})")
                 t1 = time.time()
-                fw_parts, rc_parts = [], []
+                fw_work, rc_work = [], []
                 if do_plus:
-                    for (cs, ce) in chunk_interval(iv.start, iv.end,
-                                                   cfg.wga_chunk_size):
-                        r = aligner.seed_and_filter(cs, ce, rev=False)
-                        stats.num_seeds += r.num_seeds
-                        stats.num_seed_hits += r.num_hits
-                        stats.num_hsps += len(r.hsps)
-                        if len(r.hsps):
-                            fw_parts.append(r.hsps)
+                    fw_work = [ChunkWork(cs, ce, False) for (cs, ce) in
+                               chunk_interval(iv.start, iv.end,
+                                              cfg.wga_chunk_size)]
                 if do_minus:
                     rc_start = q_len - iv.end
                     rc_end = q_len - iv.start
-                    for (cs, ce) in chunk_interval(rc_start, rc_end,
-                                                   cfg.wga_chunk_size):
-                        r = aligner.seed_and_filter(cs, ce, rev=True)
-                        stats.num_seeds += r.num_seeds
-                        stats.num_seed_hits += r.num_hits
-                        stats.num_hsps += len(r.hsps)
-                        if len(r.hsps):
-                            rc_parts.append(r.hsps)
+                    rc_work = [ChunkWork(cs, ce, True) for (cs, ce) in
+                               chunk_interval(rc_start, rc_end,
+                                              cfg.wga_chunk_size)]
+                results = aligner.map_chunks(fw_work + rc_work)
+                fw_parts, rc_parts = [], []
+                for k, r in enumerate(results):
+                    stats.num_seeds += r.num_seeds
+                    stats.num_seed_hits += r.num_hits
+                    stats.num_hsps += len(r.hsps)
+                    if len(r.hsps):
+                        (fw_parts if k < len(fw_work)
+                         else rc_parts).append(r.hsps)
                 stats.extension_ms += (time.time() - t1) * 1000
 
                 fw_hsps = (np.concatenate(fw_parts) if fw_parts

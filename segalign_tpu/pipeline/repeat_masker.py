@@ -28,7 +28,7 @@ from ..io.fasta import read_fasta
 from ..io.encode import encode, revcomp_codes
 from ..io.blocks import Chrom
 from ..constants import E_NT
-from .device import DeviceAligner
+from ..parallel.multi import MultiDeviceAligner, ChunkWork
 from .pairwise import PipelineStats
 
 
@@ -147,8 +147,7 @@ def coverage_intervals(cov_diff: np.ndarray, block_len: int, M: int):
 
 
 def run_repeat_masker(cfg: RMConfig, out_dir: str,
-                      aligner: Optional[DeviceAligner] = None
-                      ) -> PipelineStats:
+                      aligner=None) -> PipelineStats:
     stats = PipelineStats()
     log = lambda msg: print(msg, file=sys.stderr, flush=True)
 
@@ -164,7 +163,8 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
         extra = {}
         if cfg.max_hits:
             extra["max_hits"] = cfg.max_hits
-        aligner = DeviceAligner(
+        aligner = MultiDeviceAligner(
+            num_devices=cfg.num_devices,
             shape_pos=cfg.seed.shape_pos, seed_size=cfg.seed.size,
             transition=cfg.seed.transition, step=cfg.step,
             sub_mat=cfg.sub_mat, xdrop=cfg.xdrop, hspthresh=cfg.hspthresh,
@@ -194,32 +194,24 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
             cov_diff = np.zeros(b.len + 1, dtype=np.int64)
             end_pos_rc = b.len - 1 - iv.start
             window = (iv.ref_start, iv.ref_end)
+            work = []
             for cs in range(iv.start, iv.end, cfg.wga_chunk_size):
                 ce = min(cs + cfg.wga_chunk_size, iv.end)
-                chunk_hsps = []
                 if do_plus:
-                    r = aligner.seed_and_filter(cs, ce, rev=False,
-                                                window=window)
-                    stats.num_seeds += r.num_seeds
-                    stats.num_seed_hits += r.num_hits
-                    stats.num_hsps += len(r.hsps)
-                    if len(r.hsps):
-                        chunk_hsps.append(r.hsps)
+                    work.append(ChunkWork(cs, ce, False, window))
                 if do_minus:
                     # (repeat_masker_src/seeder.cpp:117-119)
                     mcs = b.len - 1 - ce
                     mce = min(mcs + cfg.wga_chunk_size, end_pos_rc)
                     if mcs < mce:
-                        r = aligner.seed_and_filter(mcs, mce, rev=True,
-                                                    window=window)
-                        stats.num_seeds += r.num_seeds
-                        stats.num_seed_hits += r.num_hits
-                        stats.num_hsps += len(r.hsps)
-                        if len(r.hsps):
-                            chunk_hsps.append(r.hsps[::-1])
-                for hs in chunk_hsps:
-                    qs = hs[:, 1]
-                    ln = hs[:, 2]
+                        work.append(ChunkWork(mcs, mce, True, window))
+            for r in aligner.map_chunks(work):
+                stats.num_seeds += r.num_seeds
+                stats.num_seed_hits += r.num_hits
+                stats.num_hsps += len(r.hsps)
+                if len(r.hsps):
+                    qs = r.hsps[:, 1]
+                    ln = r.hsps[:, 2]
                     np.add.at(cov_diff, qs, 1)
                     np.add.at(cov_diff, qs + ln, -1)
             stats.extension_ms += (time.time() - t1) * 1000
