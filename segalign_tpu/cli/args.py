@@ -50,6 +50,11 @@ def build_pairwise_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_hits", type=int, default=0,
                    help="iteration-batch size (reference: 4194304 per GB of "
                         "GPU memory); affects dedup batch boundaries")
+    p.add_argument("--gapped_mode", default="auto",
+                   choices=["auto", "delegate", "native"],
+                   help="gapped stage: delegate to lastz (byte-compatible "
+                        "with the reference) or use the native ydrop "
+                        "extension; auto = delegate when lastz is installed")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--version", action="version",
                    version=f"SegAlign-TPU Version: {VERSION}")

@@ -56,12 +56,16 @@ def main(argv=None) -> int:
     os.makedirs(data_dir, exist_ok=True)
 
     gapped = not args.nogapped
+    mode = args.gapped_mode
+    if mode == "auto":
+        mode = ("delegate" if have_lastz() and have_fa_to_two_bit()
+                else "native")
     try:
-        if gapped:
+        if gapped and mode == "delegate":
             if not have_lastz() or not have_fa_to_two_bit():
-                print("error: gapped extension requires `lastz` and "
-                      "`faToTwoBit` on PATH; rerun with --nogapped or "
-                      "install them", file=sys.stderr)
+                print("error: --gapped_mode=delegate requires `lastz` and "
+                      "`faToTwoBit` on PATH; use --gapped_mode=native or "
+                      "--nogapped", file=sys.stderr)
                 return 4
             print("\nConverting fasta files to 2bit format", file=sys.stderr)
             subprocess.check_call(["faToTwoBit", ref_path,
@@ -72,9 +76,13 @@ def main(argv=None) -> int:
         args.target, args.query, args.data_folder = (ref_path, query_path,
                                                      data_dir)
         cfg = pairwise_config_from_args(args)
+        if gapped and mode == "native":
+            # command emission is pointless without lastz
+            cfg.gapped = False
 
         pool = LastzPool(cwd=out_dir)
-        emit = pool.submit if gapped else (lambda cmd: None)
+        emit = (pool.submit if gapped and mode == "delegate"
+                else (lambda cmd: None))
 
         # run the ungapped stage in-process (reference: segalign subprocess
         # whose stdout lines the driver evals)
@@ -84,7 +92,14 @@ def main(argv=None) -> int:
 
         shutil.rmtree(data_dir, ignore_errors=True)
 
-        if gapped and pool.count > 0:
+        if gapped and mode == "native":
+            print("\nRunning native gapped extension ...", file=sys.stderr)
+            from ..output.native_gapped import run_native_gapped
+            cfg.gapped = True
+            run_native_gapped(cfg, out_dir)
+            for f in sorted_glob(os.path.join(out_dir, "tmp*.segments")):
+                os.remove(f)
+        elif gapped and pool.count > 0:
             if check_lastz_errors(out_dir) or pool.failures:
                 print("\nError in LASTZ process!", file=sys.stderr)
                 return 6

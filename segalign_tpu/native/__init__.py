@@ -15,7 +15,7 @@ import sys
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "native.cpp")
+_SRCS = [os.path.join(_DIR, "native.cpp"), os.path.join(_DIR, "gapped.cpp")]
 _LIB = os.path.join(_DIR, "libsegalign_native.so")
 
 _lib = None
@@ -25,7 +25,7 @@ def _build() -> bool:
     try:
         subprocess.check_call(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _LIB],
+             *_SRCS, "-o", _LIB],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         return True
     except Exception:
@@ -37,8 +37,9 @@ def get_lib():
     if _lib is not None:
         return _lib
     try:
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < src_mtime):
             if not _build():
                 return None
         lib = ctypes.CDLL(_LIB)
@@ -52,6 +53,11 @@ def get_lib():
             fn = getattr(lib, name)
             fn.argtypes = [u8p, u8p, ctypes.c_int64]
             fn.restype = None
+        lib.gapped_extend.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64, i64p]
+        lib.gapped_extend.restype = ctypes.c_int64
         _lib = lib
         return _lib
     except Exception as e:  # pragma: no cover
@@ -84,3 +90,29 @@ def dedup_rm_native(rs, qs, ln, sc):
     m = lib.dedup_rm(_as_i64p(rs), _as_i64p(qs), _as_i64p(ln),
                      _as_i64p(sc), len(rs))
     return rs[:m], qs[:m], ln[:m], sc[:m]
+
+
+def gapped_extend_native(ref_codes, query_codes, sub8x8, gap_open,
+                         gap_extend, ydrop, anchor_r, anchor_q,
+                         max_ops: int = 1 << 22):
+    """One ydrop gapped extension. Returns (score, r_start, q_start, r_end,
+    q_end, ops bytes) or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ref_codes = np.ascontiguousarray(ref_codes, np.uint8)
+    query_codes = np.ascontiguousarray(query_codes, np.uint8)
+    sub = np.ascontiguousarray(sub8x8, np.int64)
+    ops = np.zeros(max_ops, np.uint8)
+    meta = np.zeros(5, np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.gapped_extend(
+        ref_codes.ctypes.data_as(u8p), len(ref_codes),
+        query_codes.ctypes.data_as(u8p), len(query_codes),
+        _as_i64p(sub), gap_open, gap_extend, ydrop,
+        int(anchor_r), int(anchor_q),
+        ops.ctypes.data_as(u8p), max_ops, _as_i64p(meta))
+    if n < 0:
+        return None
+    return (int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]),
+            int(meta[4]), bytes(ops[:n]))
