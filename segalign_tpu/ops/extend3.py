@@ -1,0 +1,151 @@
+"""Host-stepped windowed x-drop extension (production path).
+
+The lax.while_loop formulation (ops/extend.py) produces multi-minute XLA
+compiles on TPU; this variant keeps each device program dense and loop-free:
+one jitted `window step` processes W positions for every live hit, and the
+HOST advances windows until every hit has terminated (first window settles
+the overwhelming majority — a drop needs ~10 mismatches under default
+scoring). Semantics are identical (tile-width independence,
+oracle/scan_spec.py); entropy bookkeeping follows the reference's
+fold-on-new-max rule per window.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG = jnp.int32(-(2**31) + 1)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "W", "left"))
+def extension_window_step(seq_r_pad, seq_q_pad, loc_r, loc_q, k, done, cum,
+                          maxv, maxp, counts, cdel, sub_flat, xdrop,
+                          ref_len, query_len, *, pad: int, W: int,
+                          left: bool):
+    """Process window k (positions [k*W, (k+1)*W) from the anchor) for every
+    live hit. Returns updated state + number of still-live hits."""
+    B = loc_r.shape[0]
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+    tile = k * W
+    alive = jnp.logical_not(done)
+
+    def one(s):
+        return jax.lax.dynamic_slice(seq_r_pad, (s,), (W,))
+
+    if left:
+        p = tile + 1 + lanes
+        r_start = pad + loc_r - tile - W
+        q_start = pad + loc_q - tile - W
+        r = jax.vmap(lambda s: jax.lax.dynamic_slice(seq_r_pad, (s,), (W,))
+                     )(r_start).astype(jnp.int32)[:, ::-1]
+        q = jax.vmap(lambda s: jax.lax.dynamic_slice(seq_q_pad, (s,), (W,))
+                     )(q_start).astype(jnp.int32)[:, ::-1]
+        inb = (loc_r[:, None] >= p) & (loc_q[:, None] >= p)
+        edge = (loc_r < tile + W) | (loc_q < tile + W)
+    else:
+        p = tile + lanes
+        r = jax.vmap(lambda s: jax.lax.dynamic_slice(seq_r_pad, (s,), (W,))
+                     )(pad + loc_r + tile).astype(jnp.int32)
+        q = jax.vmap(lambda s: jax.lax.dynamic_slice(seq_q_pad, (s,), (W,))
+                     )(pad + loc_q + tile).astype(jnp.int32)
+        inb = ((loc_r[:, None] + p) < ref_len) & \
+              ((loc_q[:, None] + p) < query_len)
+        edge = (loc_r + tile + (W - 1) >= ref_len) | \
+               (loc_q + tile + (W - 1) >= query_len)
+
+    sc = jnp.where(inb, jnp.take(sub_flat, r * 8 + q), 0)
+    cum_tile = jnp.cumsum(sc, axis=1, dtype=jnp.int32) + cum[:, None]
+    run_max = jax.lax.cummax(cum_tile, axis=1)
+    m = jnp.maximum(maxv[:, None], run_max)
+    dropm = (m - cum_tile) > xdrop
+    anydrop = jnp.any(dropm, axis=1)
+    d = jnp.where(anydrop, jnp.argmax(dropm, axis=1).astype(jnp.int32), W)
+    before = lanes < d[:, None]
+
+    best_in_tile = jnp.max(jnp.where(before, cum_tile, NEG), axis=1)
+    Mv = jnp.maximum(maxv, best_in_tile)
+    is_new = Mv > maxv
+    j = jnp.argmax((cum_tile == Mv[:, None]) & before, axis=1
+                   ).astype(jnp.int32)
+    if left:
+        Mp = jnp.where(is_new, tile + 1 + j, maxp)
+    else:
+        Mp = jnp.where(is_new, tile + j, maxp)
+
+    finish = anydrop | edge
+
+    new_max_found = Mp > maxp
+    counts_f = jnp.where(new_max_found[:, None], counts + cdel, counts)
+    cdel_f = jnp.where(new_max_found[:, None], 0, cdel)
+    match = inb & (r == q) & (r < 4)
+    in_ext = p <= Mp[:, None]
+    onehot = r[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
+    counts_f = counts_f + jnp.sum(
+        (match & in_ext)[:, :, None] & onehot, axis=1, dtype=jnp.int32)
+    cdel_f = cdel_f + jnp.sum(
+        (match & ~in_ext)[:, :, None] & onehot, axis=1, dtype=jnp.int32)
+
+    al2 = alive[:, None]
+    out = dict(
+        done=done | (alive & finish),
+        cum=jnp.where(alive, cum_tile[:, -1], cum),
+        maxv=jnp.where(alive, Mv, maxv),
+        maxp=jnp.where(alive, Mp, maxp),
+        counts=jnp.where(al2, counts_f, counts),
+        cdel=jnp.where(al2, cdel_f, cdel))
+    out["n_alive"] = jnp.sum(jnp.logical_not(out["done"]).astype(jnp.int32))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _finalize(valid, loc_r, loc_q, r_maxv, r_maxp, l_maxv, l_maxp, counts,
+              hspthresh):
+    total = r_maxv + l_maxv
+    out = dict(
+        candidate=valid & (total >= hspthresh),
+        rs=jnp.where(valid, loc_r - l_maxp, 0),
+        qs=jnp.where(valid, loc_q - l_maxp, 0),
+        length=jnp.where(valid, r_maxp + l_maxp, -1),
+        total=jnp.where(valid, total, 0),
+        counts=jnp.where(valid[:, None], counts, 0))
+    return out
+
+
+def extend_hits_windowed(ref_pad, query_pad, ref_loc, query_loc, valid,
+                         sub_flat, xdrop, hspthresh, ref_len, query_len, *,
+                         pad: int, W: int = 512, max_windows: int = 1 << 20):
+    """Host-driven extension over a hit batch. Same contract as
+    ops.extend.extend_hits. NOT jittable as a whole (host loop inside)."""
+    B = ref_loc.shape[0]
+    ref_loc = jnp.asarray(ref_loc, jnp.int32)
+    query_loc = jnp.asarray(query_loc, jnp.int32)
+    loc_r = jnp.where(valid, ref_loc, 0)
+    loc_q = jnp.where(valid, query_loc, 0)
+    z = jnp.zeros((B,), jnp.int32)
+    zc = jnp.zeros((B, 4), jnp.int32)
+    not_valid = jnp.logical_not(valid)
+
+    def run_dir(left, init_maxp, counts):
+        st = dict(done=not_valid, cum=z, maxv=z,
+                  maxp=jnp.full((B,), init_maxp, jnp.int32),
+                  counts=counts, cdel=zc)
+        k = 0
+        while True:
+            st2 = extension_window_step(
+                ref_pad, query_pad, loc_r, loc_q, k, st["done"], st["cum"],
+                st["maxv"], st["maxp"], st["counts"], st["cdel"], sub_flat,
+                xdrop, ref_len, query_len, pad=pad, W=W, left=left)
+            n_alive = int(st2["n_alive"])
+            st = st2
+            k += 1
+            if n_alive == 0 or k >= max_windows:
+                break
+        return st
+
+    st_r = run_dir(False, -1, zc)
+    st_l = run_dir(True, 0, st_r["counts"])
+    return _finalize(valid, loc_r, loc_q, st_r["maxv"], st_r["maxp"],
+                     st_l["maxv"], st_l["maxp"], st_l["counts"], hspthresh)

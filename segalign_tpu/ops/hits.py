@@ -13,6 +13,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .scan_utils import blocked_cumsum
+
 
 @functools.partial(jax.jit, static_argnames=("HBUF",))
 def expand_hits(cum, starts, qpos, pos_table, g0, g1, seed_size,
@@ -42,7 +44,7 @@ def compact_mask(mask, *arrays):
     same-shaped buffers (TPU equivalent of compress_output,
     seed_filter.cu:654-680). Returns (n, packed_arrays...)."""
     n = jnp.sum(mask.astype(jnp.int32))
-    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = blocked_cumsum(mask.astype(jnp.int32)) - 1
     big = mask.shape[0] + 1
     target = jnp.where(mask, idx, big)
     outs = []

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import TRANSITION_MASK
+from .scan_utils import blocked_cumsum
 
 
 @functools.partial(
@@ -64,5 +65,5 @@ def chunk_seeds(query_pad, index_table, chunk_start, chunk_len, *,
     ends = jnp.take(index_table, kmers)
     starts = jnp.where(kmers > 0, jnp.take(index_table, kmers - 1), 0)
     hit_counts = jnp.where(valid, ends - starts, 0)
-    cum = jnp.cumsum(hit_counts, dtype=jnp.int32)
+    cum = blocked_cumsum(hit_counts.astype(jnp.int32))
     return kmers, qpos.astype(jnp.int32), valid, starts.astype(jnp.int32), cum

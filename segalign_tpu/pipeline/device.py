@@ -36,58 +36,64 @@ DEFAULT_MAX_HITS = 4194304 * 16  # reference: MAX_HITS_PER_GB * gpu_mem_gb
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("HBUF", "B", "W", "pad", "rm_window", "twophase"))
+    jax.jit, static_argnames=("HBUF", "rm_window"))
+def _expand_and_mask(cum, starts, qpos, pos_table, g0, g1, seed_size,
+                     win_lo, win_hi, *, HBUF: int, rm_window: bool):
+    ref_loc, query_loc, valid = expand_hits(
+        cum, starts, qpos, pos_table, g0, g1, seed_size, HBUF=HBUF)
+    if rm_window:
+        valid = valid & (ref_loc >= win_lo) & (ref_loc <= win_hi)
+    return ref_loc, query_loc, valid
+
+
 def _process_hit_range(ref_pad, query_pad, pos_table, cum, starts, qpos,
                        sub_flat, g0, g1, ref_len, query_len, xdrop,
                        hspthresh, seed_size, win_lo, win_hi, *,
                        HBUF: int, B: int, W: int, pad: int, rm_window: bool,
                        twophase: bool):
-    ref_loc, query_loc, valid = expand_hits(
-        cum, starts, qpos, pos_table, g0, g1, seed_size, HBUF=HBUF)
-    if rm_window:
-        valid = valid & (ref_loc >= win_lo) & (ref_loc <= win_hi)
+    """Expand hits [g0, g1), extend, compact candidates.
 
-    nb = HBUF // B
-    xs = dict(rl=ref_loc.reshape(nb, B), ql=query_loc.reshape(nb, B),
-              v=valid.reshape(nb, B))
-
-    def f(x):
-        if twophase:
-            from ..ops.extend2 import extend_hits_twophase
-            return extend_hits_twophase(
-                ref_pad, query_pad, x["rl"], x["ql"], x["v"], sub_flat,
-                xdrop, hspthresh, ref_len, query_len, pad=pad, W=W,
-                LW=pad, RW=pad)
-        r = extend_hits(ref_pad, query_pad, x["rl"], x["ql"], x["v"],
-                        sub_flat, xdrop, hspthresh, ref_len, query_len,
-                        pad=pad, W=W)
-        return r
-
-    res = jax.lax.map(f, xs)
-    cand = res["candidate"].reshape(-1)
-    rs = res["rs"].reshape(-1)
-    qs = res["qs"].reshape(-1)
-    ln = res["length"].reshape(-1)
-    total = res["total"].reshape(-1)
-    counts = res["counts"].reshape(HBUF, 4)
-    return compact_mask(cand, rs, qs, ln, total, counts)
+    Not one monolithic jit: the extension runs as host-stepped dense window
+    kernels (ops/extend3.py) to keep XLA compiles tractable; `twophase=False`
+    selects the lax.while_loop engine (test/reference path)."""
+    ref_loc, query_loc, valid = _expand_and_mask(
+        cum, starts, qpos, pos_table, g0, g1, seed_size, win_lo, win_hi,
+        HBUF=HBUF, rm_window=rm_window)
+    if twophase:
+        from ..ops.extend3 import extend_hits_windowed
+        res = extend_hits_windowed(
+            ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
+            xdrop, hspthresh, ref_len, query_len, pad=pad, W=pad)
+    else:
+        res = extend_hits(ref_pad, query_pad, ref_loc, query_loc, valid,
+                          sub_flat, xdrop, hspthresh, ref_len, query_len,
+                          pad=pad, W=W)
+    return compact_mask(res["candidate"], res["rs"], res["qs"],
+                        res["length"], res["total"], res["counts"])
 
 
-@functools.partial(jax.jit, static_argnames=("num_iter",))
-def _plan_limits(cum, num_hits, max_hits, *, num_iter: int):
-    """Device version of the iteration-batching chain
-    (seed_filter.cu:718-741). Returns (limit_pos[num_iter-1] seed indices,
-    their cum values)."""
-    limit0 = jnp.minimum(num_hits, max_hits)
+@jax.jit
+def _lower_bound_step(cum, limit):
+    """One lower_bound of the iteration-batching chain
+    (seed_filter.cu:732-738): returns (pos, cum[pos])."""
+    pos = jnp.searchsorted(cum, limit, side="left").astype(jnp.int32) - 1
+    val = jnp.where(pos >= 0, jnp.take(cum, jnp.maximum(pos, 0)), 0)
+    return pos, val
 
-    def body(limit, _):
-        pos = jnp.searchsorted(cum, limit, side="left").astype(jnp.int32) - 1
-        val = jnp.where(pos >= 0, jnp.take(cum, jnp.maximum(pos, 0)), 0)
-        nxt = jnp.minimum(val + max_hits, num_hits)
-        return nxt, (pos, val)
 
-    _, (poss, vals) = jax.lax.scan(body, limit0, None, length=num_iter - 1)
+def _plan_limits(cum, num_hits: int, max_hits: int, num_iter: int):
+    """Host-driven iteration-batching chain (seed_filter.cu:718-741).
+    num_iter is small (num_hits // max_hits + 2), so a host loop with one
+    tiny device call per step beats a scanned program."""
+    poss = []
+    vals = []
+    limit = min(num_hits, max_hits)
+    for _ in range(num_iter - 1):
+        pos, val = _lower_bound_step(cum, limit)
+        pos, val = int(pos), int(val)
+        poss.append(pos)
+        vals.append(val)
+        limit = min(val + max_hits, num_hits)
     return poss, vals
 
 
@@ -104,7 +110,7 @@ class DeviceAligner:
 
     def __init__(self, *, shape_pos, seed_size, transition, step, sub_mat,
                  xdrop, hspthresh, noentropy, chunk_size,
-                 max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 18,
+                 max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 16,
                  B: int = 1 << 14, W: int = 128, rm_mode: bool = False,
                  twophase: bool = True, window: int = 512, device=None):
         self.shape_pos = tuple(shape_pos)
