@@ -42,13 +42,10 @@ def expand_hits(cum, starts, qpos, pos_table, g0, g1, seed_size,
 def compact_mask(mask, *arrays):
     """Stream compaction: pack rows where mask is True to the front of
     same-shaped buffers (TPU equivalent of compress_output,
-    seed_filter.cu:654-680). Returns (n, packed_arrays...)."""
+    seed_filter.cu:654-680). Returns (n, packed_arrays...).
+
+    Implemented as a stable argsort + gathers (TPU scatter is slow)."""
     n = jnp.sum(mask.astype(jnp.int32))
-    idx = blocked_cumsum(mask.astype(jnp.int32)) - 1
-    big = mask.shape[0] + 1
-    target = jnp.where(mask, idx, big)
-    outs = []
-    for a in arrays:
-        z = jnp.zeros_like(a)
-        outs.append(z.at[target].set(a, mode="drop"))
+    perm = jnp.argsort(jnp.logical_not(mask), stable=True)
+    outs = [jnp.take(a, perm, axis=0) for a in arrays]
     return (n, *outs)

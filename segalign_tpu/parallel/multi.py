@@ -41,7 +41,9 @@ class MultiDeviceAligner:
 
     def __init__(self, *, num_devices: int = -1, devices=None, **kw):
         if devices is None:
-            devices = jax.devices()
+            import os
+            platform = os.environ.get("SEGALIGN_DEVICES") or None
+            devices = jax.devices(platform)
             if num_devices > 0:
                 devices = devices[:num_devices]
         self.devices = devices

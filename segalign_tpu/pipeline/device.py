@@ -18,6 +18,8 @@ This is the TPU-native replacement for SeedAndFilter
 from __future__ import annotations
 
 import functools
+import os
+import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -34,16 +36,56 @@ from ..ops.dedup import dedup_pairwise, dedup_rm
 
 DEFAULT_MAX_HITS = 4194304 * 16  # reference: MAX_HITS_PER_GB * gpu_mem_gb
 
+# SEGALIGN_TIMING=1 prints per-stage device timings to stderr
+_TIMING = os.environ.get("SEGALIGN_TIMING", "") == "1"
+
+
+class _StageTimer:
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self.t = {}
+
+    def add(self, name, dt):
+        if self.enabled:
+            self.t[name] = self.t.get(name, 0.0) + dt
+
+    def dump(self, prefix):
+        if self.enabled and self.t:
+            import sys
+            parts = " ".join(f"{k}={v*1000:.1f}ms"
+                             for k, v in sorted(self.t.items()))
+            print(f"[timing] {prefix}: {parts}", file=sys.stderr, flush=True)
+
 
 @functools.partial(
-    jax.jit, static_argnames=("HBUF", "rm_window"))
-def _expand_and_mask(cum, starts, qpos, pos_table, g0, g1, seed_size,
-                     win_lo, win_hi, *, HBUF: int, rm_window: bool):
+    jax.jit, static_argnames=("HBUF", "rm_window", "pad", "W"))
+def _subrange_first(ref_pad, query_pad, pos_table, cum, starts, qpos,
+                    sub_flat, g0, g1, ref_len, query_len, xdrop, seed_size,
+                    win_lo, win_hi, *, HBUF: int, rm_window: bool, pad: int,
+                    W: int):
+    """Program 1 per hit subrange: expand hits + window 0 of both extension
+    directions. One packed-scalar sync tells the host whether continuation
+    windows are needed (rare)."""
+    from ..ops.extend3 import extension_first_windows
     ref_loc, query_loc, valid = expand_hits(
         cum, starts, qpos, pos_table, g0, g1, seed_size, HBUF=HBUF)
     if rm_window:
         valid = valid & (ref_loc >= win_lo) & (ref_loc <= win_hi)
-    return ref_loc, query_loc, valid
+    st_r, st_l, alive = extension_first_windows(
+        ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat, xdrop,
+        ref_len, query_len, pad=pad, W=W)
+    return ref_loc, query_loc, valid, st_r, st_l, alive
+
+
+@jax.jit
+def _finalize_compact(valid, ref_loc, query_loc, st_r, st_l, hspthresh):
+    """Program 2 per hit subrange: combine direction states, pack
+    candidates to the front (sort-based compaction)."""
+    from ..ops.extend3 import extension_finalize
+    res = extension_finalize(valid, ref_loc, query_loc, st_r, st_l,
+                             hspthresh)
+    return compact_mask(res["candidate"], res["rs"], res["qs"],
+                        res["length"], res["total"], res["counts"])
 
 
 def _process_hit_range(ref_pad, query_pad, pos_table, cum, starts, qpos,
@@ -53,23 +95,42 @@ def _process_hit_range(ref_pad, query_pad, pos_table, cum, starts, qpos,
                        twophase: bool):
     """Expand hits [g0, g1), extend, compact candidates.
 
-    Not one monolithic jit: the extension runs as host-stepped dense window
-    kernels (ops/extend3.py) to keep XLA compiles tractable; `twophase=False`
-    selects the lax.while_loop engine (test/reference path)."""
-    ref_loc, query_loc, valid = _expand_and_mask(
-        cum, starts, qpos, pos_table, g0, g1, seed_size, win_lo, win_hi,
-        HBUF=HBUF, rm_window=rm_window)
-    if twophase:
-        from ..ops.extend3 import extend_hits_windowed
-        res = extend_hits_windowed(
-            ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
-            xdrop, hspthresh, ref_len, query_len, pad=pad, W=pad)
-    else:
+    Fast path: two device programs + two packed syncs. Hits whose extension
+    outruns the first 512-wide window (rare) take extra window-step calls.
+    `twophase=False` selects the lax.while_loop engine (test path)."""
+    if not twophase:
+        ref_loc, query_loc, valid = expand_hits(
+            cum, starts, qpos, pos_table, g0, g1, seed_size, HBUF=HBUF)
+        if rm_window:
+            valid = valid & (ref_loc >= win_lo) & (ref_loc <= win_hi)
         res = extend_hits(ref_pad, query_pad, ref_loc, query_loc, valid,
                           sub_flat, xdrop, hspthresh, ref_len, query_len,
                           pad=pad, W=W)
-    return compact_mask(res["candidate"], res["rs"], res["qs"],
-                        res["length"], res["total"], res["counts"])
+        return compact_mask(res["candidate"], res["rs"], res["qs"],
+                            res["length"], res["total"], res["counts"])
+
+    from ..ops.extend3 import extension_window_step
+    ref_loc, query_loc, valid, st_r, st_l, alive = _subrange_first(
+        ref_pad, query_pad, pos_table, cum, starts, qpos, sub_flat, g0, g1,
+        ref_len, query_len, xdrop, seed_size, win_lo, win_hi, HBUF=HBUF,
+        rm_window=rm_window, pad=pad, W=pad)
+    alive = np.asarray(alive)
+    for left, st, n_alive in ((False, st_r, int(alive[0])),
+                              (True, st_l, int(alive[1]))):
+        k = 1
+        while n_alive > 0:
+            st, na = extension_window_step(
+                ref_pad, query_pad, ref_loc, query_loc, valid, k, st,
+                sub_flat, xdrop, ref_len, query_len, pad=pad, W=pad,
+                left=left)
+            n_alive = int(na)
+            k += 1
+        if left:
+            st_l = st
+        else:
+            st_r = st
+    return _finalize_compact(valid, ref_loc, query_loc, st_r, st_l,
+                             hspthresh)
 
 
 @jax.jit
@@ -110,7 +171,7 @@ class DeviceAligner:
 
     def __init__(self, *, shape_pos, seed_size, transition, step, sub_mat,
                  xdrop, hspthresh, noentropy, chunk_size,
-                 max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 16,
+                 max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 15,
                  B: int = 1 << 14, W: int = 128, rm_mode: bool = False,
                  twophase: bool = True, window: int = 512, device=None):
         self.shape_pos = tuple(shape_pos)
@@ -131,7 +192,10 @@ class DeviceAligner:
         # each anchor; padding must cover the farthest reach
         self.pad = max(W, window) if twophase else W
         self.rm_mode = rm_mode
-        self.device = device or jax.devices()[0]
+        if device is None:
+            platform = os.environ.get("SEGALIGN_DEVICES") or None
+            device = jax.devices(platform)[0]
+        self.device = device
         self.sub_flat = jax.device_put(
             jnp.asarray(np.asarray(sub_mat).reshape(-1), dtype=jnp.int32),
             self.device)
@@ -181,25 +245,30 @@ class DeviceAligner:
                         window: Optional[Tuple[int, int]] = None
                         ) -> ChunkResult:
         CHUNK = self.chunk_size
+        tm = _StageTimer(_TIMING)
+        t0 = time.time()
         q = self.q_rc if rev else self.q_fw
-        kmers, qpos, valid, starts, cum = chunk_seeds(
+        kmers, qpos, valid, starts, cum, stats = chunk_seeds(
             q, self.index_table, chunk_start, chunk_end - chunk_start,
             CHUNK=CHUNK, seed_size=self.seed_size, shape_pos=self.shape_pos,
             transition=self.transition, pad=self.pad)
-        num_seeds = int(jnp.sum(valid))
+        stats = np.asarray(stats)
+        num_seeds, num_hits = int(stats[0]), int(stats[1])
         if num_seeds == 0:
             return ChunkResult(np.zeros((0, 4), np.int64), 0, 0)
-        num_hits = int(cum[-1])
+        tm.add("seeds", time.time() - t0)
         if num_hits == 0:
             return ChunkResult(np.zeros((0, 4), np.int64), 0, num_seeds)
 
         # logical batch boundaries (reference-exact)
+        t0 = time.time()
         if num_hits < self.max_hits:
             num_iter = 2
         else:
             num_iter = num_hits // self.max_hits + 2
         poss, vals = _plan_limits(cum, num_hits, self.max_hits,
                                   num_iter=num_iter)
+        tm.add("plan", time.time() - t0)
         poss = np.asarray(poss)
         vals = np.asarray(vals)
         S = int(cum.shape[0])
@@ -219,6 +288,7 @@ class DeviceAligner:
             for g0 in range(h0, h1, self.HBUF):
                 g1 = min(g0 + self.HBUF, h1)
                 win_lo, win_hi = window if window else (0, 0)
+                t0 = time.time()
                 n, rs, qs, ln, total, counts = _process_hit_range(
                     self.ref_pad, q, self.pos_table, cum, starts, qpos,
                     self.sub_flat, g0, g1, self.ref_len, self.q_len,
@@ -226,14 +296,22 @@ class DeviceAligner:
                     win_lo, win_hi, HBUF=self.HBUF, B=self.B, W=self.W,
                     pad=self.pad, rm_window=window is not None,
                     twophase=self.twophase)
+                tm.add("extend", time.time() - t0)
+                tm.add("nrange", 1e-3)
+                t0 = time.time()
+                # bulk transfer (slicing device arrays by a dynamic n would
+                # compile a new program per distinct n)
+                n, rs, qs, ln, total, counts = jax.device_get(
+                    (n, rs, qs, ln, total, counts))
                 n = int(n)
                 if n:
-                    parts.append((np.asarray(rs[:n]), np.asarray(qs[:n]),
-                                  np.asarray(ln[:n]), np.asarray(total[:n]),
-                                  np.asarray(counts[:n])))
+                    parts.append((rs[:n], qs[:n], ln[:n], total[:n],
+                                  counts[:n]))
+                tm.add("d2h", time.time() - t0)
             h0 = h1
             if not parts:
                 continue
+            t0 = time.time()
             rs = np.concatenate([p[0] for p in parts]).astype(np.int64)
             qs = np.concatenate([p[1] for p in parts]).astype(np.int64)
             ln = np.concatenate([p[2] for p in parts]).astype(np.int64)
@@ -254,7 +332,10 @@ class DeviceAligner:
             else:
                 rs, qs, ln, sc = dedup_pairwise(rs, qs, ln, sc)
             all_out.append(np.stack([rs, qs, ln, sc], axis=1))
+            tm.add("host_dedup", time.time() - t0)
 
         hsps = (np.concatenate(all_out, axis=0) if all_out
                 else np.zeros((0, 4), np.int64))
+        tm.dump(f"chunk {chunk_start}:{chunk_end} rev={rev} "
+                f"hits={num_hits}")
         return ChunkResult(hsps, num_hits, num_seeds)

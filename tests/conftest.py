@@ -14,3 +14,18 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Route pipeline work to local CPU devices by default: CPU compiles are
+# local and fast, whereas the axon TPU tunnel compiles remotely (minutes per
+# new program shape) and is single-client. Set SEGALIGN_DEVICES=tpu (or
+# unset) for on-hardware runs; tests/test_tpu_smoke.py covers the real chip.
+os.environ.setdefault("SEGALIGN_DEVICES", "cpu")
+
+
+def pytest_configure(config):
+    import jax
+    try:
+        cpu = jax.devices("cpu")[0]
+        jax.config.update("jax_default_device", cpu)
+    except Exception:
+        pass
