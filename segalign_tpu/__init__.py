@@ -1,16 +1,19 @@
 """segalign_tpu: TPU-native whole-genome aligner (SegAlign capabilities).
 
-Importing the package configures JAX's persistent compilation cache: the
-pipeline uses a fixed set of kernel shapes, so cross-process cache hits
-eliminate the (TPU-expensive) compile warmup.
+Set SEGALIGN_JAX_CACHE=/path to opt into JAX's persistent compilation
+cache. It is OFF by default: under the axon remote-compile backend the
+cache reloads executables with mismatched buffer signatures ("supplied 9
+buffers but compiled program expected 10") and machine-mismatched CPU AOT
+code — both produce spurious INVALID_ARGUMENT failures at run time.
 """
 
 import os
 
 
 def _setup_jax_cache():
-    cache = os.environ.get("SEGALIGN_JAX_CACHE",
-                           os.path.expanduser("~/.cache/segalign_jax"))
+    cache = os.environ.get("SEGALIGN_JAX_CACHE", "")
+    if not cache:
+        return
     try:
         os.makedirs(cache, exist_ok=True)
         import jax

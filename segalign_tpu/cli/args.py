@@ -55,6 +55,12 @@ def build_pairwise_parser() -> argparse.ArgumentParser:
                    help="gapped stage: delegate to lastz (byte-compatible "
                         "with the reference) or use the native ydrop "
                         "extension; auto = delegate when lastz is installed")
+    p.add_argument("--workdir", default="",
+                   help="pinned working directory (enables --resume); "
+                        "default: a temp dir deleted on exit")
+    p.add_argument("--resume", action="store_true",
+                   help="skip intervals already recorded in the workdir's "
+                        "manifest (requires --workdir)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--version", action="version",
                    version=f"SegAlign-TPU Version: {VERSION}")

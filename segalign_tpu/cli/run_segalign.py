@@ -51,7 +51,10 @@ def main(argv=None) -> int:
               f"permissions", file=sys.stderr)
         return 5
 
-    out_dir = os.path.join(cwd, f"output_{random.randrange(32768)}")
+    if args.workdir:
+        out_dir = os.path.realpath(args.workdir)
+    else:
+        out_dir = os.path.join(cwd, f"output_{random.randrange(32768)}")
     data_dir = os.path.join(out_dir, f"data_{random.randrange(32768)}") + "/"
     os.makedirs(data_dir, exist_ok=True)
 
@@ -87,7 +90,7 @@ def main(argv=None) -> int:
         # run the ungapped stage in-process (reference: segalign subprocess
         # whose stdout lines the driver evals)
         from ..pipeline.pairwise import run_pairwise
-        run_pairwise(cfg, out_dir, emit=emit)
+        run_pairwise(cfg, out_dir, emit=emit, resume=args.resume)
         pool.wait_all()
 
         shutil.rmtree(data_dir, ignore_errors=True)
@@ -112,9 +115,14 @@ def main(argv=None) -> int:
             merge_outputs(out_dir, output_path, args.markend)
         else:
             print("No alignment generated")
+        shutil.rmtree(out_dir, ignore_errors=True)
         return 0
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        # with a pinned --workdir, keep state on failure so --resume works
+        if not args.workdir:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        else:
+            shutil.rmtree(data_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -3,18 +3,11 @@
 The lax.while_loop formulation (ops/extend.py) produces multi-minute XLA
 compiles on TPU; this variant keeps each device program dense and loop-free:
 one jitted `window step` processes W positions for every live hit, and the
-HOST advances windows until every hit has terminated (the first window
-settles the overwhelming majority — a drop needs ~10 mismatches under
-default scoring). Semantics are identical (tile-width independence,
+HOST advances windows until every hit has terminated (first window settles
+the overwhelming majority — a drop needs ~10 mismatches under default
+scoring). Semantics are identical (tile-width independence,
 oracle/scan_spec.py); entropy bookkeeping follows the reference's
 fold-on-new-max rule per window.
-
-TPU/axon practicalities baked into the structure:
-  - no 1-D ops over >64k elements (reductions reshaped 2-D);
-  - the two directions' first windows run in ONE program (counts are
-    direction-separable: final counts = right counts + left counts);
-  - continuation steps (rare) are separate cached programs with a single
-    packed-scalar sync per step.
 """
 
 from __future__ import annotations
@@ -27,31 +20,32 @@ import jax.numpy as jnp
 NEG = jnp.int32(-(2**31) + 1)
 
 
-def _sum1d(x, dtype=jnp.int32):
-    """Reduce a long 1-D array without triggering the 1-D lowering cliff."""
-    n = x.shape[0]
-    if n <= 1 << 15:
-        return jnp.sum(x, dtype=dtype)
-    pad = (-n) % 512
-    xp = jnp.pad(x.astype(dtype), (0, pad))
-    return jnp.sum(xp.reshape(-1, 512), dtype=dtype)
+from .scan_utils import robust_call as _robust_call
 
 
-def _window_body(seq_r_pad, seq_q_pad, loc_r, loc_q, k, st, sub_flat,
-                 xdrop, ref_len, query_len, pad, W, left):
-    """Window k for one direction. st = (done, cum, maxv, maxp, counts,
-    cdel). Pure function used inside jitted wrappers."""
-    done, cum, maxv, maxp, counts, cdel = st
+@functools.partial(jax.jit, static_argnames=("pad", "W", "left"))
+def _extension_window_step_jit(seq_r_pad, seq_q_pad, loc_r, loc_q, k, done,
+                               cum, maxv, maxp, counts, cdel, sub_flat,
+                               xdrop, ref_len, query_len, *, pad: int,
+                               W: int, left: bool):
+    """Process window k (positions [k*W, (k+1)*W) from the anchor) for every
+    live hit. Returns updated state + number of still-live hits."""
+    B = loc_r.shape[0]
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
     tile = k * W
     alive = jnp.logical_not(done)
 
+    def one(s):
+        return jax.lax.dynamic_slice(seq_r_pad, (s,), (W,))
+
     if left:
         p = tile + 1 + lanes
+        r_start = pad + loc_r - tile - W
+        q_start = pad + loc_q - tile - W
         r = jax.vmap(lambda s: jax.lax.dynamic_slice(seq_r_pad, (s,), (W,))
-                     )(pad + loc_r - tile - W).astype(jnp.int32)[:, ::-1]
+                     )(r_start).astype(jnp.int32)[:, ::-1]
         q = jax.vmap(lambda s: jax.lax.dynamic_slice(seq_q_pad, (s,), (W,))
-                     )(pad + loc_q - tile - W).astype(jnp.int32)[:, ::-1]
+                     )(q_start).astype(jnp.int32)[:, ::-1]
         inb = (loc_r[:, None] >= p) & (loc_q[:, None] >= p)
         edge = (loc_r < tile + W) | (loc_q < tile + W)
     else:
@@ -98,94 +92,71 @@ def _window_body(seq_r_pad, seq_q_pad, loc_r, loc_q, k, st, sub_flat,
         (match & ~in_ext)[:, :, None] & onehot, axis=1, dtype=jnp.int32)
 
     al2 = alive[:, None]
-    return (done | (alive & finish),
-            jnp.where(alive, cum_tile[:, -1], cum),
-            jnp.where(alive, Mv, maxv),
-            jnp.where(alive, Mp, maxp),
-            jnp.where(al2, counts_f, counts),
-            jnp.where(al2, cdel_f, cdel))
+    out = dict(
+        done=done | (alive & finish),
+        cum=jnp.where(alive, cum_tile[:, -1], cum),
+        maxv=jnp.where(alive, Mv, maxv),
+        maxp=jnp.where(alive, Mp, maxp),
+        counts=jnp.where(al2, counts_f, counts),
+        cdel=jnp.where(al2, cdel_f, cdel))
+    out["n_alive"] = jnp.sum(jnp.logical_not(out["done"]).astype(jnp.int32))
+    return out
 
 
-def _init_state(B, valid, init_maxp):
-    z = jnp.zeros((B,), jnp.int32)
-    zc = jnp.zeros((B, 4), jnp.int32)
-    return (jnp.logical_not(valid), z, z,
-            jnp.full((B,), init_maxp, jnp.int32), zc, zc)
+def extension_window_step(*args, **kw):
+    """Python trampoline + retry wrapper: transient INVALID_ARGUMENT /
+    buffer-count dispatch bugs in this environment (see
+    scan_utils.robust_call)."""
+    return _robust_call(_extension_window_step_jit, *args, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "W"))
-def extension_first_windows(ref_pad, query_pad, ref_loc, query_loc, valid,
-                            sub_flat, xdrop, ref_len, query_len, *,
-                            pad: int, W: int):
-    """Window 0 of BOTH directions in one program. Returns (state_r,
-    state_l, packed alive counts (2,))."""
-    B = ref_loc.shape[0]
-    loc_r = jnp.where(valid, ref_loc.astype(jnp.int32), 0)
-    loc_q = jnp.where(valid, query_loc.astype(jnp.int32), 0)
-    st_r = _window_body(ref_pad, query_pad, loc_r, loc_q, 0,
-                        _init_state(B, valid, -1), sub_flat, xdrop,
-                        ref_len, query_len, pad, W, left=False)
-    st_l = _window_body(ref_pad, query_pad, loc_r, loc_q, 0,
-                        _init_state(B, valid, 0), sub_flat, xdrop,
-                        ref_len, query_len, pad, W, left=True)
-    alive = jnp.stack([_sum1d(jnp.logical_not(st_r[0])),
-                       _sum1d(jnp.logical_not(st_l[0]))])
-    return st_r, st_l, alive
-
-
-@functools.partial(jax.jit, static_argnames=("pad", "W", "left"))
-def extension_window_step(ref_pad, query_pad, ref_loc, query_loc, valid, k,
-                          state, sub_flat, xdrop, ref_len, query_len, *,
-                          pad: int, W: int, left: bool):
-    """One continuation window for one direction (k >= 1)."""
-    loc_r = jnp.where(valid, ref_loc.astype(jnp.int32), 0)
-    loc_q = jnp.where(valid, query_loc.astype(jnp.int32), 0)
-    st = _window_body(ref_pad, query_pad, loc_r, loc_q, k, state, sub_flat,
-                      xdrop, ref_len, query_len, pad, W, left)
-    return st, _sum1d(jnp.logical_not(st[0]))
-
-
-def extension_finalize(valid, ref_loc, query_loc, st_r, st_l, hspthresh):
-    """Combine direction states into hit results (plain ops; callers jit)."""
-    loc_r = jnp.where(valid, ref_loc.astype(jnp.int32), 0)
-    loc_q = jnp.where(valid, query_loc.astype(jnp.int32), 0)
-    r_maxv, r_maxp = st_r[2], st_r[3]
-    l_maxv, l_maxp = st_l[2], st_l[3]
-    counts = st_r[4] + st_l[4]
+@functools.partial(jax.jit, static_argnames=())
+def _finalize(valid, loc_r, loc_q, r_maxv, r_maxp, l_maxv, l_maxp, counts,
+              hspthresh):
     total = r_maxv + l_maxv
-    return dict(
+    out = dict(
         candidate=valid & (total >= hspthresh),
         rs=jnp.where(valid, loc_r - l_maxp, 0),
         qs=jnp.where(valid, loc_q - l_maxp, 0),
         length=jnp.where(valid, r_maxp + l_maxp, -1),
         total=jnp.where(valid, total, 0),
         counts=jnp.where(valid[:, None], counts, 0))
+    return out
 
 
 def extend_hits_windowed(ref_pad, query_pad, ref_loc, query_loc, valid,
                          sub_flat, xdrop, hspthresh, ref_len, query_len, *,
                          pad: int, W: int = 512, max_windows: int = 1 << 20):
-    """Host-driven extension over a hit batch. Same result contract as
-    ops.extend.extend_hits (not jittable as a whole: host loop inside)."""
-    st_r, st_l, alive = extension_first_windows(
-        ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat, xdrop,
-        ref_len, query_len, pad=pad, W=W)
-    alive = jax.device_get(alive)
+    """Host-driven extension over a hit batch. Same contract as
+    ops.extend.extend_hits. NOT jittable as a whole (host loop inside)."""
+    B = ref_loc.shape[0]
+    ref_loc = jnp.asarray(ref_loc, jnp.int32)
+    query_loc = jnp.asarray(query_loc, jnp.int32)
+    loc_r = jnp.where(valid, ref_loc, 0)
+    loc_q = jnp.where(valid, query_loc, 0)
+    z = jnp.zeros((B,), jnp.int32)
+    zc = jnp.zeros((B, 4), jnp.int32)
+    not_valid = jnp.logical_not(valid)
 
-    for left, st, n_alive in ((False, st_r, int(alive[0])),
-                              (True, st_l, int(alive[1]))):
-        k = 1
-        while n_alive > 0 and k < max_windows:
-            st, na = extension_window_step(
-                ref_pad, query_pad, ref_loc, query_loc, valid, k, st,
-                sub_flat, xdrop, ref_len, query_len, pad=pad, W=W,
-                left=left)
-            n_alive = int(na)
+    def run_dir(left, init_maxp, counts):
+        st = dict(done=not_valid, cum=z, maxv=z,
+                  maxp=jnp.full((B,), init_maxp, jnp.int32),
+                  counts=counts, cdel=zc)
+        k = 0
+        while True:
+            st2 = extension_window_step(
+                ref_pad, query_pad, loc_r, loc_q, k, st["done"], st["cum"],
+                st["maxv"], st["maxp"], st["counts"], st["cdel"], sub_flat,
+                xdrop, ref_len, query_len, pad=pad, W=W, left=left)
+            n_alive = int(st2["n_alive"])
+            st = st2
             k += 1
-        if left:
-            st_l = st
-        else:
-            st_r = st
+            if n_alive == 0 or k >= max_windows:
+                break
+        return st
 
-    return jax.jit(extension_finalize)(valid, ref_loc, query_loc, st_r,
-                                       st_l, hspthresh)
+    st_r = run_dir(False, -1, zc)
+    st_l = run_dir(True, 0, st_r["counts"])
+    return _robust_call(
+        _finalize, valid, loc_r, loc_q, st_r["maxv"], st_r["maxp"],
+        st_l["maxv"], st_l["maxp"], st_l["counts"], hspthresh)

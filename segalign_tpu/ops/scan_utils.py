@@ -11,6 +11,47 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def robust_call(fn, *args, **kw):
+    """Call a jitted function, retrying once with a cleared trace cache.
+
+    Remote-compiled executables in the axon environment intermittently
+    mismatch the dispatch path ("Execution supplied 9 buffers but compiled
+    program expected 10 buffers"); recompiling fixes it. Applies to both
+    the CPU and TPU backends here. Deterministically reproduced on specific
+    program/shape combinations — do not remove without re-testing the
+    pipelines on both backends."""
+    import jax
+
+    def run():
+        out = fn(*args, **kw)
+        # materialize so async execution errors surface inside the retry
+        # scope (costs a sync; every wrapped call is followed by one anyway)
+        jax.block_until_ready(out)
+        return out
+
+    try:
+        return run()
+    except Exception as e:
+        msg = str(e)
+        if "INVALID_ARGUMENT" not in msg and "buffers" not in msg:
+            raise
+        try:
+            fn.clear_cache()
+        except Exception:
+            pass
+        return run()
+
+
+def sum1d(x, dtype=jnp.int32):
+    """Reduce a long 1-D array without triggering the 1-D lowering cliff."""
+    n = x.shape[0]
+    if n <= 1 << 15:
+        return jnp.sum(x, dtype=dtype)
+    pad = (-n) % 512
+    xp = jnp.pad(x.astype(dtype), (0, pad))
+    return jnp.sum(xp.reshape(-1, 512), dtype=dtype)
+
+
 def blocked_cumsum(x, block: int = 2048):
     """Inclusive 1-D cumsum via 2-D blocking. Exact for int dtypes."""
     n = x.shape[0]

@@ -67,7 +67,7 @@ def chunk_seeds(query_pad, index_table, chunk_start, chunk_len, *,
     hit_counts = jnp.where(valid, ends - starts, 0)
     cum = blocked_cumsum(hit_counts.astype(jnp.int32))
     # packed stats: one D2H sync for (num_seeds, num_hits)
-    from .extend3 import _sum1d
-    stats = jnp.stack([_sum1d(valid), cum[-1]])
+    from .scan_utils import sum1d
+    stats = jnp.stack([sum1d(valid), cum[-1]])
     return (kmers, qpos.astype(jnp.int32), valid, starts.astype(jnp.int32),
             cum, stats)

@@ -33,11 +33,23 @@ from ..ops.seeding import chunk_seeds
 from ..ops.hits import expand_hits, compact_mask
 from ..ops.finalize import finalize_candidates
 from ..ops.dedup import dedup_pairwise, dedup_rm
+from ..ops.scan_utils import robust_call
 
 DEFAULT_MAX_HITS = 4194304 * 16  # reference: MAX_HITS_PER_GB * gpu_mem_gb
 
 # SEGALIGN_TIMING=1 prints per-stage device timings to stderr
 _TIMING = os.environ.get("SEGALIGN_TIMING", "") == "1"
+# SEGALIGN_SYNC=1 synchronizes after every device program (debugging)
+_SYNC = os.environ.get("SEGALIGN_SYNC", "") == "1"
+
+
+def _dbg_sync(tag, x):
+    if _SYNC:
+        try:
+            jax.block_until_ready(x)
+        except Exception as e:
+            raise RuntimeError(f"device program failed at stage "
+                               f"'{tag}': {e}") from e
 
 
 class _StageTimer:
@@ -58,34 +70,20 @@ class _StageTimer:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("HBUF", "rm_window", "pad", "W"))
-def _subrange_first(ref_pad, query_pad, pos_table, cum, starts, qpos,
-                    sub_flat, g0, g1, ref_len, query_len, xdrop, seed_size,
-                    win_lo, win_hi, *, HBUF: int, rm_window: bool, pad: int,
-                    W: int):
-    """Program 1 per hit subrange: expand hits + window 0 of both extension
-    directions. One packed-scalar sync tells the host whether continuation
-    windows are needed (rare)."""
-    from ..ops.extend3 import extension_first_windows
+    jax.jit, static_argnames=("HBUF", "rm_window"))
+def _expand_and_mask(cum, starts, qpos, pos_table, g0, g1, seed_size,
+                     win_lo, win_hi, *, HBUF: int, rm_window: bool):
+    """Program 1 per hit subrange: expand hits (+ RM window mask).
+
+    Kept as its own program rather than fused with the extension windows:
+    the fused variant miscompiles on the axon backend (runtime
+    InvalidArgument when compiled cold; works when the pieces compile
+    separately)."""
     ref_loc, query_loc, valid = expand_hits(
         cum, starts, qpos, pos_table, g0, g1, seed_size, HBUF=HBUF)
     if rm_window:
         valid = valid & (ref_loc >= win_lo) & (ref_loc <= win_hi)
-    st_r, st_l, alive = extension_first_windows(
-        ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat, xdrop,
-        ref_len, query_len, pad=pad, W=W)
-    return ref_loc, query_loc, valid, st_r, st_l, alive
-
-
-@jax.jit
-def _finalize_compact(valid, ref_loc, query_loc, st_r, st_l, hspthresh):
-    """Program 2 per hit subrange: combine direction states, pack
-    candidates to the front (sort-based compaction)."""
-    from ..ops.extend3 import extension_finalize
-    res = extension_finalize(valid, ref_loc, query_loc, st_r, st_l,
-                             hspthresh)
-    return compact_mask(res["candidate"], res["rs"], res["qs"],
-                        res["length"], res["total"], res["counts"])
+    return ref_loc, query_loc, valid
 
 
 def _process_hit_range(ref_pad, query_pad, pos_table, cum, starts, qpos,
@@ -109,28 +107,19 @@ def _process_hit_range(ref_pad, query_pad, pos_table, cum, starts, qpos,
         return compact_mask(res["candidate"], res["rs"], res["qs"],
                             res["length"], res["total"], res["counts"])
 
-    from ..ops.extend3 import extension_window_step
-    ref_loc, query_loc, valid, st_r, st_l, alive = _subrange_first(
-        ref_pad, query_pad, pos_table, cum, starts, qpos, sub_flat, g0, g1,
-        ref_len, query_len, xdrop, seed_size, win_lo, win_hi, HBUF=HBUF,
-        rm_window=rm_window, pad=pad, W=pad)
-    alive = np.asarray(alive)
-    for left, st, n_alive in ((False, st_r, int(alive[0])),
-                              (True, st_l, int(alive[1]))):
-        k = 1
-        while n_alive > 0:
-            st, na = extension_window_step(
-                ref_pad, query_pad, ref_loc, query_loc, valid, k, st,
-                sub_flat, xdrop, ref_len, query_len, pad=pad, W=pad,
-                left=left)
-            n_alive = int(na)
-            k += 1
-        if left:
-            st_l = st
-        else:
-            st_r = st
-    return _finalize_compact(valid, ref_loc, query_loc, st_r, st_l,
-                             hspthresh)
+    from ..ops.extend3 import extend_hits_windowed
+    ref_loc, query_loc, valid = robust_call(
+        _expand_and_mask,
+        cum, starts, qpos, pos_table, g0, g1, seed_size, win_lo, win_hi,
+        HBUF=HBUF, rm_window=rm_window)
+    _dbg_sync("expand", valid)
+    res = extend_hits_windowed(
+        ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat, xdrop,
+        hspthresh, ref_len, query_len, pad=pad, W=pad)
+    _dbg_sync("extend", res["total"])
+    return robust_call(compact_mask, res["candidate"], res["rs"],
+                       res["qs"], res["length"], res["total"],
+                       res["counts"])
 
 
 @jax.jit
@@ -150,7 +139,7 @@ def _plan_limits(cum, num_hits: int, max_hits: int, num_iter: int):
     vals = []
     limit = min(num_hits, max_hits)
     for _ in range(num_iter - 1):
-        pos, val = _lower_bound_step(cum, limit)
+        pos, val = robust_call(_lower_bound_step, cum, limit)
         pos, val = int(pos), int(val)
         poss.append(pos)
         vals.append(val)
@@ -248,7 +237,8 @@ class DeviceAligner:
         tm = _StageTimer(_TIMING)
         t0 = time.time()
         q = self.q_rc if rev else self.q_fw
-        kmers, qpos, valid, starts, cum, stats = chunk_seeds(
+        kmers, qpos, valid, starts, cum, stats = robust_call(
+            chunk_seeds,
             q, self.index_table, chunk_start, chunk_end - chunk_start,
             CHUNK=CHUNK, seed_size=self.seed_size, shape_pos=self.shape_pos,
             transition=self.transition, pad=self.pad)

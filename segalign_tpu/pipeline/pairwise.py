@@ -38,7 +38,8 @@ class PipelineStats:
 
 def run_pairwise(cfg: Config, out_dir: str,
                  emit: Optional[Callable[[str], None]] = None,
-                 devices: Optional[list] = None) -> PipelineStats:
+                 devices: Optional[list] = None,
+                 resume: bool = False) -> PipelineStats:
     """Run the ungapped stage end to end.
 
     Writes query_block*.name / ref_block*.name and tmp*.segments files into
@@ -98,6 +99,9 @@ def run_pairwise(cfg: Config, out_dir: str,
     do_plus = cfg.strand in ("plus", "both")
     do_minus = cfg.strand in ("minus", "both")
 
+    from .manifest import Manifest
+    manifest = Manifest(out_dir, resume=resume)
+
     t_start = time.time()
     log("\nStart alignment ...")
     for rb in target.blocks:
@@ -115,6 +119,10 @@ def run_pairwise(cfg: Config, out_dir: str,
             q_len = qb.len - cfg.seed.size
 
             for iv in (i for i in intervals if i.block == qb.index):
+                key = (rb.index, qb.index, iv.num_invoked)
+                if manifest.is_done(key):
+                    stats.intervals_done += 1
+                    continue
                 if cfg.debug:
                     log(f"Query block {qb.index}, interval "
                         f"{iv.num_invoked}/{iv.num_intervals} "
@@ -152,8 +160,10 @@ def run_pairwise(cfg: Config, out_dir: str,
                         r_block_start=rb.start, q_block_start=qb.start,
                         fw_hsps=fw_hsps, rc_hsps=rc_hsps):
                     emit(cmd)
+                manifest.mark_done(key)
                 stats.intervals_done += 1
 
+    manifest.close()
     if cfg.debug:
         log(f"Time elapsed (complete pipeline): "
             f"{time.time() - t_start:.1f} sec")

@@ -23,6 +23,8 @@ os.environ.setdefault("SEGALIGN_DEVICES", "cpu")
 
 
 def pytest_configure(config):
+    if os.environ.get("SEGALIGN_TEST_NO_DEFAULT_DEVICE"):
+        return
     import jax
     try:
         cpu = jax.devices("cpu")[0]
