@@ -71,6 +71,16 @@ def run_pairwise(cfg: Config, out_dir: str,
     intervals = plan_intervals(query.blocks, cfg.seed.size,
                                cfg.lastz_interval_size)
 
+    # multi-host: each host aligns a round-robin slice of the intervals
+    # against the replicated reference (see parallel/distributed.py)
+    from ..parallel.distributed import (maybe_initialize_distributed,
+                                        partition_intervals)
+    host_id, num_hosts = maybe_initialize_distributed()
+    my_intervals = partition_intervals(intervals, host_id, num_hosts)
+    if num_hosts > 1:
+        log(f"Host {host_id}/{num_hosts}: {len(my_intervals)} of "
+            f"{len(intervals)} intervals")
+
     ctx = PrinterContext(
         r_chr_names=[c.name for c in target.chroms],
         r_chr_starts=target.chr_starts,
@@ -118,7 +128,7 @@ def run_pairwise(cfg: Config, out_dir: str,
             aligner.set_query(fw, rc)
             q_len = qb.len - cfg.seed.size
 
-            for iv in (i for i in intervals if i.block == qb.index):
+            for iv in (i for i in my_intervals if i.block == qb.index):
                 key = (rb.index, qb.index, iv.num_invoked)
                 if manifest.is_done(key):
                     stats.intervals_done += 1
