@@ -154,11 +154,34 @@ def _aligned_text(raw_r: np.ndarray, raw_q: np.ndarray, al: Alignment):
     return "".join(rt), "".join(qt)
 
 
+def _cigar(ops: bytes) -> str:
+    out = []
+    prev = None
+    n = 0
+    for op in ops.decode():
+        if op == prev:
+            n += 1
+        else:
+            if prev:
+                out.append(f"{n}{prev}")
+            prev = op
+            n = 1
+    if prev:
+        out.append(f"{n}{prev}")
+    return "".join(out)
+
+
 def write_alignments(path: str, fmt: str, alignments: List[Alignment],
                      target: GenomeText, query: GenomeText):
+    sam = fmt in ("sam", "softsam", "sam-", "softsam-")
     with open(path, "w") as f:
         if fmt in ("maf", "maf+"):
             f.write("##maf version=1 scoring=segalign_tpu\n")
+        if sam and not fmt.endswith("-"):
+            f.write("@HD\tVN:1.5\tSO:unsorted\n")
+            for name in target.order:
+                f.write(f"@SQ\tSN:{name}\tLN:{target.size(name)}\n")
+            f.write("@PG\tID:segalign_tpu\tPN:segalign_tpu\n")
         idx = 0
         for al in alignments:
             raw_r = target.raw[al.rname]
@@ -177,10 +200,30 @@ def write_alignments(path: str, fmt: str, alignments: List[Alignment],
                 f.write(f"{idx} {al.rname} {al.r_start + 1} {al.r_end} "
                         f"{al.qname} {al.q_start + 1} {al.q_end} "
                         f"{al.strand} {al.score}\n{rt}\n{qt}\n\n")
+            elif sam:
+                soft = fmt.startswith("softsam")
+                flag = 16 if al.strand == "-" else 0
+                qsize = query.size(al.qname)
+                # strand-local clip lengths
+                pre = al.q_start
+                post = qsize - al.q_end
+                cig = _cigar(al.ops)
+                if soft:
+                    seq = bytes(raw_q).decode()
+                    cl = (f"{pre}S" if pre else "") + cig + \
+                        (f"{post}S" if post else "")
+                else:
+                    seq = bytes(raw_q[al.q_start:al.q_end]).decode()
+                    cl = (f"{pre}H" if pre else "") + cig + \
+                        (f"{post}H" if post else "")
+                f.write(f"{al.qname}\t{flag}\t{al.rname}\t{al.r_start + 1}"
+                        f"\t255\t{cl}\t*\t0\t0\t{seq}\t*\tAS:i:{al.score}"
+                        f"\n")
             else:
                 raise NotImplementedError(
-                    f"native gapped mode supports maf/maf+/maf-/axt; "
-                    f"--format={fmt} requires lastz (delegation mode)")
+                    f"native gapped mode supports maf/maf+/maf-/axt/sam/"
+                    f"softsam; --format={fmt} requires lastz (delegation "
+                    f"mode)")
             idx += 1
 
 
