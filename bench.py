@@ -25,8 +25,8 @@ import numpy as np
 
 NOMINAL_V100_MBPS = 2.0
 
-REF_MBP = float(os.environ.get("BENCH_REF_MBP", 8.0))
-QUERY_MBP = float(os.environ.get("BENCH_QUERY_MBP", 8.0))
+REF_MBP = float(os.environ.get("BENCH_REF_MBP", 4.0))
+QUERY_MBP = float(os.environ.get("BENCH_QUERY_MBP", 4.0))
 CHUNK = 250_000
 
 
@@ -93,6 +93,10 @@ def main():
             stats["hsps"] += len(r.hsps)
             stats["hits"] += r.num_hits
             stats["seeds"] += r.num_seeds
+        done_mbp = ce / 1e6
+        el = time.time() - t1
+        print(f"bench progress: {done_mbp:.2f} Mbp in {el:.1f}s "
+              f"({done_mbp / el:.3f} Mbp/s)", file=sys.stderr, flush=True)
     dt = time.time() - t1
 
     mbps = (n_query / 1e6) / dt
