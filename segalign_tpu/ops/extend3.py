@@ -124,11 +124,51 @@ def _finalize(valid, loc_r, loc_q, r_maxv, r_maxp, l_maxv, l_maxp, counts,
     return out
 
 
+# continuation buffer size: once the live-row count drops below this,
+# window stepping continues on a compacted batch instead of full width
+CONT = 4096
+
+_STATE_KEYS = ("done", "cum", "maxv", "maxp", "counts", "cdel")
+
+
+@jax.jit
+def _alive_order(done):
+    """Stable permutation putting live rows first, plus its inverse."""
+    order = jnp.argsort(done, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    return order, inv
+
+
+@jax.jit
+def _gather_rows(order_prefix, loc_r, loc_q, done, cum, maxv, maxp, counts,
+                 cdel):
+    take = lambda a: jnp.take(a, order_prefix, axis=0)
+    return (take(loc_r), take(loc_q), take(done), take(cum), take(maxv),
+            take(maxp), take(counts), take(cdel))
+
+
+@jax.jit
+def _scatter_rows(order, inv, c_done, c_cum, c_maxv, c_maxp, c_counts,
+                  c_cdel, done, cum, maxv, maxp, counts, cdel):
+    """Merge compacted-row results back (gather-only: sorted-space concat
+    then unsort)."""
+    def merge(c, full):
+        rest = jnp.take(full, order[c.shape[0]:], axis=0)
+        return jnp.take(jnp.concatenate([c, rest], axis=0), inv, axis=0)
+    return (merge(c_done, done), merge(c_cum, cum), merge(c_maxv, maxv),
+            merge(c_maxp, maxp), merge(c_counts, counts),
+            merge(c_cdel, cdel))
+
+
 def extend_hits_windowed(ref_pad, query_pad, ref_loc, query_loc, valid,
                          sub_flat, xdrop, hspthresh, ref_len, query_len, *,
                          pad: int, W: int = 512, max_windows: int = 1 << 20):
     """Host-driven extension over a hit batch. Same contract as
-    ops.extend.extend_hits. NOT jittable as a whole (host loop inside)."""
+    ops.extend.extend_hits. NOT jittable as a whole (host loop inside).
+
+    Continuation windows (rare long extensions) run on a CONT-row compacted
+    batch: repeat-dense regions otherwise pay full batch width for a
+    handful of live rows on every extra window."""
     B = ref_loc.shape[0]
     ref_loc = jnp.asarray(ref_loc, jnp.int32)
     query_loc = jnp.asarray(query_loc, jnp.int32)
@@ -138,21 +178,41 @@ def extend_hits_windowed(ref_pad, query_pad, ref_loc, query_loc, valid,
     zc = jnp.zeros((B, 4), jnp.int32)
     not_valid = jnp.logical_not(valid)
 
+    def step(lr, lq, st, k, left, w):
+        st2 = extension_window_step(
+            ref_pad, query_pad, lr, lq, k, st["done"], st["cum"],
+            st["maxv"], st["maxp"], st["counts"], st["cdel"], sub_flat,
+            xdrop, ref_len, query_len, pad=pad, W=w, left=left)
+        return st2, int(st2["n_alive"])
+
     def run_dir(left, init_maxp, counts):
         st = dict(done=not_valid, cum=z, maxv=z,
                   maxp=jnp.full((B,), init_maxp, jnp.int32),
                   counts=counts, cdel=zc)
-        k = 0
-        while True:
-            st2 = extension_window_step(
-                ref_pad, query_pad, loc_r, loc_q, k, st["done"], st["cum"],
-                st["maxv"], st["maxp"], st["counts"], st["cdel"], sub_flat,
-                xdrop, ref_len, query_len, pad=pad, W=W, left=left)
-            n_alive = int(st2["n_alive"])
-            st = st2
+        st, n_alive = step(loc_r, loc_q, st, 0, left, W)
+        k = 1
+        while n_alive > 0 and k < max_windows and (
+                B <= CONT or n_alive > CONT):
+            st, n_alive = step(loc_r, loc_q, st, k, left, W)
             k += 1
-            if n_alive == 0 or k >= max_windows:
-                break
+        if n_alive > 0 and B > CONT:
+            order, inv = _robust_call(_alive_order, st["done"])
+            prefix = order[:CONT]
+            (c_lr, c_lq, c_done, c_cum, c_maxv, c_maxp, c_counts,
+             c_cdel) = _robust_call(
+                _gather_rows, prefix, loc_r, loc_q, st["done"], st["cum"],
+                st["maxv"], st["maxp"], st["counts"], st["cdel"])
+            cst = dict(done=c_done, cum=c_cum, maxv=c_maxv, maxp=c_maxp,
+                       counts=c_counts, cdel=c_cdel)
+            while n_alive > 0 and k < max_windows:
+                cst, n_alive = step(c_lr, c_lq, cst, k, left, W)
+                k += 1
+            merged = _robust_call(
+                _scatter_rows, order, inv, cst["done"], cst["cum"],
+                cst["maxv"], cst["maxp"], cst["counts"], cst["cdel"],
+                st["done"], st["cum"], st["maxv"], st["maxp"],
+                st["counts"], st["cdel"])
+            st = dict(zip(_STATE_KEYS, merged))
         return st
 
     st_r = run_dir(False, -1, zc)
