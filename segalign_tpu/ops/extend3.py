@@ -13,9 +13,14 @@ fold-on-new-max rule per window.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# SEGALIGN_PALLAS=1 routes the window scan through the fused Pallas kernel
+# (ops/extend_pallas.py); the gathers stay in XLA either way.
+_USE_PALLAS = os.environ.get("SEGALIGN_PALLAS", "") == "1"
 
 NEG = jnp.int32(-(2**31) + 1)
 
@@ -107,7 +112,54 @@ def extension_window_step(*args, **kw):
     """Python trampoline + retry wrapper: transient INVALID_ARGUMENT /
     buffer-count dispatch bugs in this environment (see
     scan_utils.robust_call)."""
+    if _USE_PALLAS:
+        return _extension_window_step_pallas(*args, **kw)
     return _robust_call(_extension_window_step_jit, *args, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "W", "left"))
+def _gather_window_jit(seq_r_pad, seq_q_pad, loc_r, loc_q, k, ref_len,
+                      query_len, *, pad: int, W: int, left: bool):
+    """XLA half of the Pallas path: window gathers + bounds mask."""
+    B = loc_r.shape[0]
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+    tile = k * W
+    if left:
+        p = tile + 1 + lanes
+        r = jax.vmap(lambda st: jax.lax.dynamic_slice(seq_r_pad, (st,), (W,))
+                     )(pad + loc_r - tile - W).astype(jnp.int32)[:, ::-1]
+        q = jax.vmap(lambda st: jax.lax.dynamic_slice(seq_q_pad, (st,), (W,))
+                     )(pad + loc_q - tile - W).astype(jnp.int32)[:, ::-1]
+        inb = (loc_r[:, None] >= p) & (loc_q[:, None] >= p)
+    else:
+        p = tile + lanes
+        r = jax.vmap(lambda st: jax.lax.dynamic_slice(seq_r_pad, (st,), (W,))
+                     )(pad + loc_r + tile).astype(jnp.int32)
+        q = jax.vmap(lambda st: jax.lax.dynamic_slice(seq_q_pad, (st,), (W,))
+                     )(pad + loc_q + tile).astype(jnp.int32)
+        inb = ((loc_r[:, None] + p) < ref_len) & \
+              ((loc_q[:, None] + p) < query_len)
+    return r, q, inb.astype(jnp.int32)
+
+
+def _extension_window_step_pallas(seq_r_pad, seq_q_pad, loc_r, loc_q, k,
+                                  done, cum, maxv, maxp, counts, cdel,
+                                  sub_flat, xdrop, ref_len, query_len, *,
+                                  pad: int, W: int, left: bool):
+    from .extend_pallas import window_scan_pallas
+    interpret = next(iter(seq_r_pad.devices())).platform != "tpu"
+    r, q, inb = _robust_call(
+        _gather_window_jit, seq_r_pad, seq_q_pad, loc_r, loc_q, k, ref_len,
+        query_len, pad=pad, W=W, left=left)
+    B = loc_r.shape[0]
+    BR = min(256, B)
+    o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = _robust_call(
+        window_scan_pallas, r, q, inb, cum, maxv, maxp, done, counts, cdel,
+        sub_flat, xdrop, k * W, W=W, left=left, BR=BR, interpret=interpret)
+    out = dict(done=o_done, cum=o_cum, maxv=o_maxv, maxp=o_maxp,
+               counts=o_counts, cdel=o_cdel)
+    out["n_alive"] = jnp.sum(jnp.logical_not(o_done).astype(jnp.int32))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=())

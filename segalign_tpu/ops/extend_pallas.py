@@ -1,0 +1,184 @@
+"""Pallas TPU kernel for the windowed x-drop extension scan.
+
+Replaces the ~30-kernel XLA program of extension_window_step's compute with
+ONE fused kernel: per grid step a (BR, W) block of hits' window scores is
+scanned entirely in VMEM (cumulative sum, running max with earliest-pos
+tie-break, first-drop detection, entropy match counting) using lane-axis
+log-step shifts. The window gathers stay in XLA (they are fast and fuse
+poorly into Pallas anyway); everything after the gather is this kernel.
+
+Semantics are identical to ops/extend3._window_body (itself equivalent to
+the reference CUDA tile-32 algorithm; see oracle/scan_spec.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(2**31) + 1  # plain int: jnp scalars would be captured consts in the kernel
+
+
+def _lane_cumsum(x, W):
+    """Inclusive cumsum along the lane axis via log-step shifts."""
+    k = 1
+    while k < W:
+        shifted = pltpu.roll(x, k, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = x + jnp.where(lane >= k, shifted, 0)
+        k *= 2
+    return x
+
+
+def _lane_cummax(x, W):
+    k = 1
+    while k < W:
+        shifted = pltpu.roll(x, k, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.maximum(x, jnp.where(lane >= k, shifted, NEG))
+        k *= 2
+    return x
+
+
+def _lane_cumor(x, W):
+    k = 1
+    while k < W:
+        shifted = pltpu.roll(x, k, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = x | jnp.where(lane >= k, shifted, False)
+        k *= 2
+    return x
+
+
+def _window_scan_kernel(r_ref, q_ref, inb_ref, cum_ref, maxv_ref, maxp_ref,
+                        done_ref, counts_ref, cdel_ref, sub_ref, misc_ref,
+                        o_cum_ref, o_maxv_ref, o_maxp_ref, o_done_ref,
+                        o_counts_ref, o_cdel_ref, *, W: int, left: bool):
+    xdrop = misc_ref[0]
+    tile = misc_ref[1]
+
+    r = r_ref[:]
+    q = q_ref[:]
+    inb = inb_ref[:] != 0
+    BR = r.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BR, W), 1)
+    if left:
+        p = tile + 1 + lanes
+    else:
+        p = tile + lanes
+
+    done_in = done_ref[:] != 0
+    alive = jnp.logical_not(done_in)
+    cum0 = cum_ref[:]
+    maxv0 = maxv_ref[:]
+    maxp0 = maxp_ref[:]
+
+    # score lookup: one-hot over the 64-entry substitution table
+    idx = r * 8 + q
+    sc = jnp.zeros((BR, W), jnp.int32)
+    for e in range(64):
+        sc = sc + jnp.where(idx == e, sub_ref[0, e], 0)
+    sc = jnp.where(inb, sc, 0)
+
+    cum = _lane_cumsum(sc, W) + cum0[:, :1]
+    runmax = _lane_cummax(cum, W)
+    m = jnp.maximum(maxv0[:, :1], runmax)
+    drop = (m - cum) > xdrop
+    dropc = _lane_cumor(drop, W)
+    anydrop = dropc[:, W - 1:W]
+    # lane < first-drop-lane: the inclusive OR marks the drop lane itself,
+    # so its negation matches `lanes < d` exactly
+    before = jnp.logical_not(dropc)
+
+    best_in = jnp.max(jnp.where(before, cum, NEG), axis=1, keepdims=True)
+    Mv = jnp.maximum(maxv0[:, :1], best_in)
+    is_new = Mv > maxv0[:, :1]
+    hit = (cum == Mv) & before
+    # earliest lane achieving the new max
+    j = jnp.min(jnp.where(hit, lanes, W), axis=1, keepdims=True)
+    if left:
+        Mp = jnp.where(is_new, tile + 1 + j, maxp0[:, :1])
+    else:
+        Mp = jnp.where(is_new, tile + j, maxp0[:, :1])
+
+    # edge: last lane of the window out of bounds
+    edge = jnp.logical_not(inb[:, W - 1:W])
+    finish = anydrop | edge
+
+    new_max = Mp > maxp0[:, :1]
+    counts0 = counts_ref[:]
+    cdel0 = cdel_ref[:]
+    counts_f = jnp.where(new_max, counts0 + cdel0, counts0)
+    cdel_f = jnp.where(new_max, 0, cdel0)
+    match = inb & (r == q) & (r < 4)
+    in_ext = p <= Mp
+    for c in range(4):
+        mc = match & (r == c)
+        counts_f = counts_f.at[:, c:c + 1].add(
+            jnp.sum(mc & in_ext, axis=1, keepdims=True, dtype=jnp.int32))
+        cdel_f = cdel_f.at[:, c:c + 1].add(
+            jnp.sum(mc & jnp.logical_not(in_ext), axis=1, keepdims=True,
+                    dtype=jnp.int32))
+
+    al = alive[:, :1]
+    o_done_ref[:] = (done_in | (al & finish)).astype(jnp.int32)
+    o_cum_ref[:] = jnp.where(al, cum[:, W - 1:W], cum0[:, :1])
+    o_maxv_ref[:] = jnp.where(al, Mv, maxv0[:, :1])
+    o_maxp_ref[:] = jnp.where(al, Mp, maxp0[:, :1])
+    o_counts_ref[:] = jnp.where(al, counts_f, counts0)
+    o_cdel_ref[:] = jnp.where(al, cdel_f, cdel0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "left", "BR", "interpret"))
+def window_scan_pallas(r, q, inb, cum, maxv, maxp, done, counts, cdel,
+                       sub_flat, xdrop, tile, *, W: int, left: bool,
+                       BR: int = 256, interpret: bool = False):
+    """Scan one W-wide window for B hits with a single fused kernel.
+
+    r/q: (B, W) int32 window codes; inb: (B, W) int32 0/1 in-bounds mask;
+    state arrays (B,) / (B, 4) as in extension_window_step. Returns the six
+    updated state arrays."""
+    B = r.shape[0]
+    misc = jnp.stack([jnp.int32(xdrop), jnp.int32(tile)])
+    sub2d = sub_flat.reshape(1, 64)
+    col = lambda a: a.reshape(B, 1)
+
+    grid = (B // BR,)
+    row_spec = pl.BlockSpec((BR, W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    one_spec = pl.BlockSpec((BR, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    four_spec = pl.BlockSpec((BR, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    sub_spec = pl.BlockSpec((1, 64), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    misc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_window_scan_kernel, W=W, left=left),
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, one_spec, one_spec,
+                  one_spec, one_spec, four_spec, four_spec, sub_spec,
+                  misc_spec],
+        out_specs=(one_spec, one_spec, one_spec, one_spec, four_spec,
+                   four_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 4), jnp.int32),
+            jax.ShapeDtypeStruct((B, 4), jnp.int32),
+        ),
+        interpret=interpret,
+    )(r, q, inb, col(cum), col(maxv), col(maxp),
+      col(done.astype(jnp.int32)), counts, cdel, sub2d, misc)
+
+    o_cum, o_maxv, o_maxp, o_done, o_counts, o_cdel = out
+    return (o_done.reshape(B) != 0, o_cum.reshape(B), o_maxv.reshape(B),
+            o_maxp.reshape(B), o_counts, o_cdel)
