@@ -44,14 +44,16 @@ def _lane_cummax(x, W):
     return x
 
 
-def _lane_cumor(x, W):
+def _lane_cumor(x_bool, W):
+    # Mosaic cannot rotate i1 vectors; run the OR-scan as an i32 max-scan
+    x = x_bool.astype(jnp.int32)
     k = 1
     while k < W:
         shifted = pltpu.roll(x, k, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        x = x | jnp.where(lane >= k, shifted, False)
+        x = jnp.maximum(x, jnp.where(lane >= k, shifted, 0))
         k *= 2
-    return x
+    return x > 0
 
 
 def _window_scan_kernel(r_ref, q_ref, inb_ref, cum_ref, maxv_ref, maxp_ref,
@@ -116,13 +118,16 @@ def _window_scan_kernel(r_ref, q_ref, inb_ref, cum_ref, maxv_ref, maxp_ref,
     cdel_f = jnp.where(new_max, 0, cdel0)
     match = inb & (r == q) & (r < 4)
     in_ext = p <= Mp
+    add_in = []
+    add_out = []
     for c in range(4):
         mc = match & (r == c)
-        counts_f = counts_f.at[:, c:c + 1].add(
-            jnp.sum(mc & in_ext, axis=1, keepdims=True, dtype=jnp.int32))
-        cdel_f = cdel_f.at[:, c:c + 1].add(
-            jnp.sum(mc & jnp.logical_not(in_ext), axis=1, keepdims=True,
-                    dtype=jnp.int32))
+        add_in.append(jnp.sum(mc & in_ext, axis=1, keepdims=True,
+                              dtype=jnp.int32))
+        add_out.append(jnp.sum(mc & jnp.logical_not(in_ext), axis=1,
+                               keepdims=True, dtype=jnp.int32))
+    counts_f = counts_f + jnp.concatenate(add_in, axis=1)
+    cdel_f = cdel_f + jnp.concatenate(add_out, axis=1)
 
     al = alive[:, :1]
     o_done_ref[:] = (done_in | (al & finish)).astype(jnp.int32)
@@ -182,3 +187,79 @@ def window_scan_pallas(r, q, inb, cum, maxv, maxp, done, counts, cdel,
     o_cum, o_maxv, o_maxp, o_done, o_counts, o_cdel = out
     return (o_done.reshape(B) != 0, o_cum.reshape(B), o_maxv.reshape(B),
             o_maxp.reshape(B), o_counts, o_cdel)
+
+
+ALIGN = 1024  # Mosaic HBM slice alignment for 1-D i8 memrefs
+AWIN = 2048   # aligned bytes DMA'd per row (covers any 512 window)
+
+
+def _gather_rows_kernel(starts_ref, seq_ref, out_ref, buf, sems, *,
+                        BR: int, W: int):
+    """DMA BR rows from HBM at arbitrary offsets.
+
+    Mosaic only slices HBM at ALIGN boundaries, so each row copies the
+    AWIN-byte aligned superset with all BR DMAs in flight at once
+    (XLA's gather does ~3.4 us per row, latency-bound), then extracts the
+    window with a per-row dynamic rotate (32-bit; i8 rotate unsupported).
+    """
+    i = pl.program_id(0)
+
+    def dma(j):
+        start = starts_ref[i * BR + j]
+        aligned = (start // ALIGN) * ALIGN
+        return pltpu.make_async_copy(
+            seq_ref.at[pl.ds(aligned, AWIN)],
+            buf.at[pl.ds(j * AWIN, AWIN)], sems.at[j])
+
+    def start_one(j, _):
+        dma(j).start()
+        return 0
+
+    jax.lax.fori_loop(0, BR, start_one, 0)
+
+    def wait_one(j, _):
+        dma(j).wait()
+        return 0
+
+    jax.lax.fori_loop(0, BR, wait_one, 0)
+
+    # extraction in sublane-aligned groups of 8 rows (Mosaic requires
+    # dynamic dim-0 indices to be provable multiples of 8)
+    def extract8(t, _):
+        base = pl.multiple_of(t * 8, 8)
+        rows = []
+        for c in range(8):
+            start = starts_ref[i * BR + base + c]
+            off = start - (start // ALIGN) * ALIGN
+            row = buf[pl.ds((base + c) * AWIN, AWIN)].reshape(1, AWIN)
+            rolled = pltpu.roll(row.astype(jnp.int32), AWIN - off, 1)
+            rows.append(rolled[:, :W])
+        out_ref[pl.ds(base, 8), :] = jnp.concatenate(rows, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, BR // 8, extract8, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "BR", "interpret"))
+def gather_rows_pallas(seq_pad, starts, *, W: int, BR: int = 256,
+                       interpret: bool = False):
+    """(B,) start offsets -> (B, W) int32 rows, DMA-pipelined.
+
+    Callers must guarantee starts in [0, len(seq_pad) - AWIN]."""
+    B = starts.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // BR,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((BR, W), lambda i, starts: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BR * AWIN,), jnp.uint8),
+                        pltpu.SemaphoreType.DMA((BR,))],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_rows_kernel, BR=BR, W=W),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, seq_pad)
