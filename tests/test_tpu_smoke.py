@@ -80,5 +80,11 @@ def test_tpu_chunk_smoke():
         os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", ""))
     r = subprocess.run([sys.executable, "-c", SCRIPT], env=env,
                        capture_output=True, text=True, timeout=1500)
+    if r.returncode != 0:
+        transient = ("ABORTED", "worker process crashed",
+                     "Unable to initialize backend")
+        if any(t in r.stderr for t in transient):
+            pytest.skip("TPU busy/unavailable (single-client tunnel): "
+                        + r.stderr[-200:])
     assert r.returncode == 0, r.stderr[-3000:]
     assert "TPU_SMOKE_OK" in r.stdout
