@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 
 from .constants import (
-    A_NT, C_NT, G_NT, T_NT, L_NT, N_NT, X_NT, E_NT, NUC, NUC2,
+    L_NT, N_NT, X_NT, E_NT, NUC,
     DEFAULT_SEQ_BLOCK_SIZE, DEFAULT_SEQ_BLOCK_SIZE_RM,
     DEFAULT_LASTZ_INTERVAL, DEFAULT_WGA_CHUNK,
 )

@@ -21,7 +21,7 @@ from typing import List
 
 import numpy as np
 
-from .encode import encode, revcomp_codes, ENCODE_LUT
+from .encode import encode, revcomp_codes
 from ..constants import E_NT
 
 

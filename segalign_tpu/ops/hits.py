@@ -13,7 +13,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .scan_utils import blocked_cumsum
 
 
 @functools.partial(jax.jit, static_argnames=("HBUF",))

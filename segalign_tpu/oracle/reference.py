@@ -33,7 +33,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..constants import INVALID_KMER, NUC, TRANSITION_MASK
+from ..constants import INVALID_KMER, TRANSITION_MASK
 
 
 @dataclass

@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import glob
 import os
-import re
-import sys
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List

@@ -28,7 +28,7 @@ Launch: run the same CLI on every host with
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 
 def maybe_initialize_distributed() -> tuple[int, int]:

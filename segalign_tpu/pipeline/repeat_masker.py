@@ -19,7 +19,7 @@ import sys
 import time
 from dataclasses import dataclass
 from math import ceil
-from typing import Callable, List, Optional
+from typing import List
 
 import numpy as np
 
