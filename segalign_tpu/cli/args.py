@@ -112,6 +112,9 @@ def build_rm_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_gpu", "--num_devices", type=int, default=-1,
                    dest="num_devices")
     p.add_argument("--max_hits", type=int, default=0)
+    p.add_argument("--workdir", default="",
+                   help="pinned working directory (enables --resume)")
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--version", action="version",
                    version=f"SegAlign-TPU Version: {VERSION}")

@@ -37,13 +37,16 @@ def main(argv=None) -> int:
               f"permissions", file=sys.stderr)
         return 5
 
-    out_dir = os.path.join(cwd, f"output_{random.randrange(32768)}")
+    if args.workdir:
+        out_dir = os.path.realpath(args.workdir)
+    else:
+        out_dir = os.path.join(cwd, f"output_{random.randrange(32768)}")
     os.makedirs(out_dir, exist_ok=True)
     try:
         args.seq_file = seq_path
         cfg = rm_config_from_args(args)
         from ..pipeline.repeat_masker import run_repeat_masker
-        run_repeat_masker(cfg, out_dir)
+        run_repeat_masker(cfg, out_dir, resume=args.resume)
 
         if output_path:
             with open(output_path, "wb") as dst:
@@ -60,9 +63,11 @@ def main(argv=None) -> int:
                     sys.stdout.write(f.read())
             if args.markend:
                 sys.stdout.write("# segalign_repeat_masker end-of-file\n")
+        if not args.workdir:
+            shutil.rmtree(out_dir, ignore_errors=True)
         return 0
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        pass
 
 
 if __name__ == "__main__":

@@ -147,7 +147,7 @@ def coverage_intervals(cov_diff: np.ndarray, block_len: int, M: int):
 
 
 def run_repeat_masker(cfg: RMConfig, out_dir: str,
-                      aligner=None) -> PipelineStats:
+                      aligner=None, resume: bool = False) -> PipelineStats:
     stats = PipelineStats()
     log = lambda msg: print(msg, file=sys.stderr, flush=True)
 
@@ -174,6 +174,9 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
     do_plus = cfg.strand in ("plus", "both")
     do_minus = cfg.strand in ("minus", "both")
 
+    from .manifest import Manifest
+    manifest = Manifest(out_dir, resume=resume)
+
     t_start = time.time()
     log("\nStart alignment ...")
     for b in blocks:
@@ -186,6 +189,10 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
         stats.seed_table_ms += (time.time() - t0) * 1000
 
         for iv in b.intervals:
+            key = (b.index, 0, iv.num_invoked)
+            if manifest.is_done(key):
+                stats.intervals_done += 1
+                continue
             if cfg.debug:
                 log(f"Chromosome block {b.index} interval "
                     f"{iv.num_invoked}/{iv.num_intervals} "
@@ -231,8 +238,10 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
                                 f"{seg_q + ln + 1 - c0}\n")
                     if cfg.markend:
                         f.write("# segalign_repeat_masker end-of-file\n")
+            manifest.mark_done(key)
             stats.intervals_done += 1
 
+    manifest.close()
     if cfg.debug:
         log(f"Time elapsed (complete pipeline): "
             f"{time.time() - t_start:.1f} sec")

@@ -105,6 +105,8 @@ def test_rm_e2e_matches_oracle(rm_genome, tmp_path):
     names = [c.name for c in chroms]
     got = {}
     for f in os.listdir(out_dir):
+        if f == "MANIFEST.jsonl":
+            continue
         assert f.startswith("tmp") and f.endswith(".intervals")
         num_invoked = int(f[3:].split(".")[0])
         block_index = int(f.split(".block")[1].split(".")[0])
