@@ -158,3 +158,20 @@ def test_run_segalign_driver_nogapped(genomes, tmp_path, monkeypatch):
     validate_segments(lines[:-1], genomes, 1500)
     # temp dirs cleaned up
     assert not [d for d in os.listdir(tmp_path) if d.startswith("output_")]
+
+
+def test_strand_selection(genomes, tmp_path):
+    for strand, expect in (("plus", {"plus"}), ("minus", {"minus"})):
+        out_dir = str(tmp_path / f"strand_{strand}")
+        os.makedirs(out_dir)
+        cfg = Config(
+            reference_filename=genomes["ref_fa"],
+            query_filename=genomes["query_fa"],
+            data_folder="", gapped=False, noentropy=True, hspthresh=1500,
+            wga_chunk_size=512, lastz_interval_size=1000,
+            seq_block_size=1500, device_hbuf=1024, device_batch=256,
+            strand=strand)
+        run_pairwise(cfg, out_dir, emit=lambda c: None)
+        kinds = {f.rsplit(".", 2)[-2] for f in os.listdir(out_dir)
+                 if f.endswith(".segments")}
+        assert kinds == expect, (strand, kinds)
