@@ -15,7 +15,8 @@ import sys
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, "native.cpp"), os.path.join(_DIR, "gapped.cpp")]
+_SRCS = [os.path.join(_DIR, "native.cpp"), os.path.join(_DIR, "gapped.cpp"),
+         os.path.join(_DIR, "seeder.cpp")]
 _LIB = os.path.join(_DIR, "libsegalign_native.so")
 
 _lib = None
@@ -58,6 +59,20 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64, i64p]
         lib.gapped_extend.restype = ctypes.c_int64
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.seed_chunk_count.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p,
+            i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i32p, i32p, i64p]
+        lib.seed_chunk_count.restype = ctypes.c_int64
+        lib.seed_plan_batches.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
+            i64p, ctypes.c_int64]
+        lib.seed_plan_batches.restype = ctypes.c_int64
+        lib.seed_chunk_emit.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p]
+        lib.seed_chunk_emit.restype = None
         _lib = lib
         return _lib
     except Exception as e:  # pragma: no cover
@@ -90,6 +105,73 @@ def dedup_rm_native(rs, qs, ln, sc):
     m = lib.dedup_rm(_as_i64p(rs), _as_i64p(qs), _as_i64p(ln),
                      _as_i64p(sc), len(rs))
     return rs[:m], qs[:m], ln[:m], sc[:m]
+
+
+def _as_i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class ChunkSeeder:
+    """Host-native seeding + hit expansion for one (table, query) residency.
+
+    Replaces the device chunk_seeds/expand_hits programs; see seeder.cpp for
+    the exact-semantics contract. Scratch buffers are reused across chunks.
+    Returns None from seed() when the native lib is unavailable (callers
+    fall back to the device path)."""
+
+    def __init__(self, chunk_size: int, kmer_size: int, transition: bool,
+                 nthreads: int = 0):
+        self.nvar = 1 + kmer_size if transition else 1
+        self.S_cap = chunk_size * self.nvar
+        self.cnt = np.zeros(self.S_cap, np.int32)
+        self.bstart = np.zeros(self.S_cap, np.int32)
+        if nthreads <= 0:
+            nthreads = os.cpu_count() or 1
+        self.nthreads = nthreads
+
+    def seed(self, query_codes: np.ndarray, chunk_start: int,
+             chunk_len: int, index_table: np.ndarray,
+             pos_table: np.ndarray, shape_pos, seed_size: int,
+             max_hits: int):
+        """Returns (ref_loc, query_loc, limit_pos, hit_bound, num_seeds,
+        num_hits) or None."""
+        lib = get_lib()
+        if lib is None:
+            return None
+        query_codes = np.ascontiguousarray(query_codes, np.uint8)
+        index_table = np.ascontiguousarray(index_table, np.int32)
+        pos_table = np.ascontiguousarray(pos_table, np.int32)
+        sp = np.ascontiguousarray(np.asarray(shape_pos), np.int32)
+        k = len(sp)
+        S = chunk_len * self.nvar
+        assert S <= self.S_cap
+        ns = np.zeros(1, np.int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        num_hits = lib.seed_chunk_count(
+            query_codes.ctypes.data_as(u8p), len(query_codes),
+            chunk_start, chunk_len, _as_i32p(index_table), _as_i32p(sp),
+            k, seed_size, int(self.nvar > 1), self.nthreads,
+            _as_i32p(self.cnt), _as_i32p(self.bstart), _as_i64p(ns))
+        num_seeds = int(ns[0])
+        if num_seeds == 0 or num_hits == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                    np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    num_seeds, int(num_hits))
+        cap = num_hits // max(max_hits, 1) + 4
+        limit_pos = np.zeros(cap, np.int64)
+        hit_bound = np.zeros(cap, np.int64)
+        nb = lib.seed_plan_batches(
+            _as_i32p(self.cnt), S, num_hits, max_hits,
+            _as_i64p(limit_pos), _as_i64p(hit_bound), cap)
+        assert nb <= cap
+        ref_loc = np.empty(num_hits, np.int32)
+        query_loc = np.empty(num_hits, np.int32)
+        lib.seed_chunk_emit(
+            _as_i32p(pos_table), _as_i32p(self.cnt), _as_i32p(self.bstart),
+            S, chunk_start, seed_size, self.nvar, self.nthreads,
+            _as_i32p(ref_loc), _as_i32p(query_loc))
+        return (ref_loc, query_loc, limit_pos[:nb], hit_bound[:nb],
+                num_seeds, int(num_hits))
 
 
 def gapped_extend_native(ref_codes, query_codes, sub8x8, gap_open,

@@ -11,21 +11,26 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def robust_call(fn, *args, **kw):
-    """Call a jitted function, retrying once with a cleared trace cache.
+import os
 
-    Remote-compiled executables in the axon environment intermittently
-    mismatch the dispatch path ("Execution supplied 9 buffers but compiled
-    program expected 10 buffers"); recompiling fixes it. Applies to both
-    the CPU and TPU backends here. Deterministically reproduced on specific
-    program/shape combinations — do not remove without re-testing the
-    pipelines on both backends."""
+# SEGALIGN_SYNC=1 restores round-1 behavior: synchronize after every wrapped
+# dispatch and retry once (with a cleared trace cache) on the transient
+# INVALID_ARGUMENT / buffer-count dispatch bugs this environment used to
+# show. Off by default: the happy-path sync defeated JAX async dispatch and
+# the underlying environment bugs no longer reproduce (round 2 probes).
+_SYNC_RETRY = os.environ.get("SEGALIGN_SYNC", "") == "1"
+
+
+def robust_call(fn, *args, **kw):
+    """Dispatch a jitted function (see _SYNC_RETRY for the debug mode)."""
+    if not _SYNC_RETRY:
+        return fn(*args, **kw)
     import jax
 
     def run():
         out = fn(*args, **kw)
         # materialize so async execution errors surface inside the retry
-        # scope (costs a sync; every wrapped call is followed by one anyway)
+        # scope
         jax.block_until_ready(out)
         return out
 

@@ -37,6 +37,12 @@ from ..ops.scan_utils import robust_call
 
 DEFAULT_MAX_HITS = 4194304 * 16  # reference: MAX_HITS_PER_GB * gpu_mem_gb
 
+# SEGALIGN_DEVICE_SEEDING=1 forces the round-1 on-device seeding/expansion
+# path (kept for tests and as a fallback); default is the host-native
+# seeder (native/seeder.cpp) which avoids XLA's latency-bound TPU
+# gather/searchsorted lowerings entirely.
+_FORCE_DEVICE_SEEDING = os.environ.get("SEGALIGN_DEVICE_SEEDING", "") == "1"
+
 # SEGALIGN_TIMING=1 prints per-stage device timings to stderr
 _TIMING = os.environ.get("SEGALIGN_TIMING", "") == "1"
 # SEGALIGN_SYNC=1 synchronizes after every device program (debugging)
@@ -180,6 +186,8 @@ class DeviceAligner:
         # the two-phase extender gathers `window`-wide slices either side of
         # each anchor; padding must cover the farthest reach
         self.pad = max(W, window) if twophase else W
+        # window width of the single-program extension engine (native path)
+        self.ext_window = window
         self.rm_mode = rm_mode
         if device is None:
             platform = os.environ.get("SEGALIGN_DEVICES") or None
@@ -195,6 +203,15 @@ class DeviceAligner:
         self.q_fw = None
         self.q_rc = None
         self.q_len = 0
+        self._native_seeder = None
+        if not _FORCE_DEVICE_SEEDING:
+            from ..native import ChunkSeeder, get_lib
+            if get_lib() is not None:
+                self._native_seeder = ChunkSeeder(
+                    chunk_size, self.kmer_size, transition)
+        self._host_tables = None  # (index_table, pos_table) numpy
+        self._q_fw_host = None
+        self._q_rc_host = None
 
     # -- block management (analog of SendRefWriteRequest / SendQuery...) ----
 
@@ -210,6 +227,13 @@ class DeviceAligner:
                 ref_codes, self.step, self.shape_pos, self.seed_size,
                 self.kmer_size)
         index_table, pos_table = tables
+        self._host_tables = (np.ascontiguousarray(index_table, np.int32),
+                             np.ascontiguousarray(pos_table, np.int32))
+        if self._native_seeder is not None:
+            # host seeding: the (large) tables never leave host memory
+            self.index_table = None
+            self.pos_table = None
+            return
         self.index_table = jax.device_put(index_table, self.device)
         if len(pos_table) == 0:
             pos_table = np.zeros(1, np.int32)
@@ -222,6 +246,8 @@ class DeviceAligner:
                                    self.device)
         self.q_rc = jax.device_put(pad_sequence(rc_codes, self.pad, rp),
                                    self.device)
+        self._q_fw_host = np.ascontiguousarray(fw_codes, np.uint8)
+        self._q_rc_host = np.ascontiguousarray(rc_codes, np.uint8)
 
     def map_chunks(self, work):
         """Sequential chunk processing (MultiDeviceAligner-compatible)."""
@@ -233,6 +259,130 @@ class DeviceAligner:
     def seed_and_filter(self, chunk_start: int, chunk_end: int, rev: bool,
                         window: Optional[Tuple[int, int]] = None
                         ) -> ChunkResult:
+        if self._native_seeder is not None:
+            return self._seed_and_filter_native(chunk_start, chunk_end, rev,
+                                                window)
+        return self._seed_and_filter_device(chunk_start, chunk_end, rev,
+                                            window)
+
+    def _finalize_batch(self, rs, qs, ln, total, counts, rev: bool):
+        """Host entropy finalize + dedup of one logical hit batch.
+        Returns an (n, 4) int64 array or None."""
+        accepted, scores = finalize_candidates(
+            rs, qs, ln, total, counts, self.hspthresh, self.noentropy)
+        if not accepted.any():
+            return None
+        rs, qs, ln, sc = (rs[accepted], qs[accepted], ln[accepted],
+                          scores[accepted])
+        if self.rm_mode and rev:
+            # minus-strand remap (repeat_masker_src/seed_filter.cu:705-709)
+            qs = self.ref_len - 1 - (qs + ln)
+        if self.rm_mode:
+            rs, qs, ln, sc = dedup_rm(rs, qs, ln, sc)
+        else:
+            rs, qs, ln, sc = dedup_pairwise(rs, qs, ln, sc)
+        return np.stack([rs, qs, ln, sc], axis=1)
+
+    def _seed_and_filter_native(self, chunk_start: int, chunk_end: int,
+                                rev: bool,
+                                window: Optional[Tuple[int, int]]
+                                ) -> ChunkResult:
+        """Host-native seeding/expansion + device extension.
+
+        Same output contract as the device path; seeding, hit expansion and
+        batch planning run in native/seeder.cpp (reference-exact), the
+        x-drop extension runs on the TPU as ONE program per subrange
+        (ops/extend_fused), entropy/dedup on host."""
+        from ..ops.extend_fused import extend_program
+        tm = _StageTimer(_TIMING)
+        t0 = time.time()
+        q_host = self._q_rc_host if rev else self._q_fw_host
+        index_table, pos_table = self._host_tables
+        ref_loc, query_loc, limit_pos, hit_bound, num_seeds, num_hits = (
+            self._native_seeder.seed(
+                q_host, chunk_start, chunk_end - chunk_start, index_table,
+                pos_table, self.shape_pos, self.seed_size, self.max_hits))
+        tm.add("seeds", time.time() - t0)
+        if num_seeds == 0:
+            return ChunkResult(np.zeros((0, 4), np.int64), 0, 0)
+        if num_hits == 0:
+            return ChunkResult(np.zeros((0, 4), np.int64), 0, num_seeds)
+
+        q_pad = self.q_rc if rev else self.q_fw
+        HBUF = self.HBUF
+        all_out: List[np.ndarray] = []
+        h0 = 0
+        for h1 in (int(b) for b in hit_bound):
+            if h1 <= h0:
+                continue
+            t0 = time.time()
+            rl = ref_loc[h0:h1]
+            ql = query_loc[h0:h1]
+            h0 = h1
+            if window is not None:
+                m = (rl >= window[0]) & (rl <= window[1])
+                rl, ql = rl[m], ql[m]
+            n = len(rl)
+            if n == 0:
+                continue
+            tm.add("mask", time.time() - t0)
+            pending = []
+            for g0 in range(0, n, HBUF):
+                t0 = time.time()
+                g1 = min(g0 + HBUF, n)
+                m = g1 - g0
+                buf_r = np.zeros(HBUF, np.int32)
+                buf_q = np.zeros(HBUF, np.int32)
+                buf_r[:m] = rl[g0:g1]
+                buf_q[:m] = ql[g0:g1]
+                valid = np.zeros(HBUF, bool)
+                valid[:m] = True
+                d_r = jax.device_put(buf_r, self.device)
+                d_q = jax.device_put(buf_q, self.device)
+                d_v = jax.device_put(valid, self.device)
+                tm.add("h2d", time.time() - t0)
+                t0 = time.time()
+                res = extend_program(
+                    self.ref_pad, q_pad, d_r, d_q, d_v, self.sub_flat,
+                    self.xdrop, self.hspthresh, self.ref_len, self.q_len,
+                    pad=self.pad, W=self.ext_window)
+                pending.append(res)
+                tm.add("extend", time.time() - t0)
+            t0 = time.time()
+            parts = []
+            for res in pending:
+                out = jax.device_get(
+                    (res["candidate"], res["rs"], res["qs"], res["length"],
+                     res["total"], res["counts"]))
+                cand, rs_a, qs_a, ln_a, tot_a, cnt_a = out
+                idx = np.nonzero(cand)[0]
+                if len(idx):
+                    parts.append((rs_a[idx], qs_a[idx], ln_a[idx],
+                                  tot_a[idx], cnt_a[idx]))
+            tm.add("d2h", time.time() - t0)
+            if not parts:
+                continue
+            t0 = time.time()
+            rs = np.concatenate([p[0] for p in parts]).astype(np.int64)
+            qs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+            ln = np.concatenate([p[2] for p in parts]).astype(np.int64)
+            total = np.concatenate([p[3] for p in parts]).astype(np.int64)
+            counts = np.concatenate([p[4] for p in parts]).astype(np.int64)
+            out_arr = self._finalize_batch(rs, qs, ln, total, counts, rev)
+            if out_arr is not None:
+                all_out.append(out_arr)
+            tm.add("host_dedup", time.time() - t0)
+
+        hsps = (np.concatenate(all_out, axis=0) if all_out
+                else np.zeros((0, 4), np.int64))
+        tm.dump(f"chunk {chunk_start}:{chunk_end} rev={rev} "
+                f"hits={num_hits} [native]")
+        return ChunkResult(hsps, num_hits, num_seeds)
+
+    def _seed_and_filter_device(self, chunk_start: int, chunk_end: int,
+                                rev: bool,
+                                window: Optional[Tuple[int, int]] = None
+                                ) -> ChunkResult:
         CHUNK = self.chunk_size
         tm = _StageTimer(_TIMING)
         t0 = time.time()

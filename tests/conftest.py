@@ -1,24 +1,36 @@
-"""Test config: request a virtual 8-device CPU platform.
+"""Test config: CPU-only JAX with a virtual 8-device platform.
 
 Must run before any jax import (pytest imports conftest first).
 
-Note: under the axon TPU tunnel JAX_PLATFORMS=cpu is ignored and
-jax.devices() still returns the real chip — single-device tests then run on
-TPU (useful hardware coverage). Multi-device tests must ask for
-jax.devices("cpu") explicitly, which honours the 8-device flag."""
+The axon TPU plugin (loaded via /root/.axon_site on PYTHONPATH) force-
+registers the tunneled chip and ignores JAX_PLATFORMS=cpu. The tunnel is
+single-client: a test process touching it crashes or slows any concurrent
+TPU job (bench, profiling). So the suite strips the axon site path and
+pins JAX_PLATFORMS=cpu — tests never touch the tunnel. Set
+SEGALIGN_TEST_TPU=1 to keep the plugin (tests/test_tpu_smoke.py needs it;
+run that alone, with nothing else on the chip).
+"""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if os.environ.get("SEGALIGN_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "")
+else:
+    sys.path = [p for p in sys.path if "axon_site" not in p]
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.modules.pop("jax_plugins", None)
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Route pipeline work to local CPU devices by default: CPU compiles are
-# local and fast, whereas the axon TPU tunnel compiles remotely (minutes per
-# new program shape) and is single-client. Set SEGALIGN_DEVICES=tpu (or
-# unset) for on-hardware runs; tests/test_tpu_smoke.py covers the real chip.
+# Route pipeline work to local CPU devices by default (the device pool
+# reads SEGALIGN_DEVICES; tests/test_tpu_smoke.py overrides to tpu).
 os.environ.setdefault("SEGALIGN_DEVICES", "cpu")
 
 

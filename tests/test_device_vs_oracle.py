@@ -61,9 +61,11 @@ def test_device_matches_oracle_pairwise(max_hits):
     qrc = np.array([3, 2, 1, 0, 4, 5, 6, 7], np.uint8)[query[::-1]]
     al.set_query(query, qrc)
 
-    # device seed table matches the oracle's
-    np.testing.assert_array_equal(np.asarray(al.index_table), it)
-    np.testing.assert_array_equal(np.asarray(al.pos_table), pt)
+    # seed table matches the oracle's (host-resident under native seeding)
+    got_it, got_pt = (al._host_tables if al.index_table is None
+                      else (al.index_table, al.pos_table))
+    np.testing.assert_array_equal(np.asarray(got_it), it)
+    np.testing.assert_array_equal(np.asarray(got_pt), pt)
 
     q_len = len(query) - sc.size
     total_dev_hsps = 0
