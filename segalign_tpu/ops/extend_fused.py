@@ -25,14 +25,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .extend3 import _extension_window_step_jit, _finalize
+from .extend3 import _finalize, window_step_fn
 
 _STATE = ("done", "cum", "maxv", "maxp", "counts", "cdel")
 
 
 def _step(seq_r, seq_q, loc_r, loc_q, k, st, sub_flat, xdrop, ref_len,
           query_len, *, pad, W, left):
-    out = _extension_window_step_jit.__wrapped__(
+    out = window_step_fn().__wrapped__(
         seq_r, seq_q, loc_r, loc_q, k, st["done"], st["cum"], st["maxv"],
         st["maxp"], st["counts"], st["cdel"], sub_flat, xdrop, ref_len,
         query_len, pad=pad, W=W, left=left)

@@ -17,6 +17,12 @@ import sys
 if os.environ.get("SEGALIGN_TEST_TPU"):
     os.environ.setdefault("JAX_PLATFORMS", "")
 else:
+    _axon = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon_site" in p]
+    if _axon:
+        # stash for subprocess tests that need the real accelerator
+        # (tests/test_tpu_smoke.py restores it)
+        os.environ["SEGALIGN_AXON_SITE"] = os.pathsep.join(_axon)
     sys.path = [p for p in sys.path if "axon_site" not in p]
     os.environ["PYTHONPATH"] = os.pathsep.join(
         p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)

@@ -78,11 +78,17 @@ def test_tpu_chunk_smoke():
         env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", ""))
+    # conftest strips the accelerator plugin path from PYTHONPATH so the
+    # suite never touches the single-client tunnel; restore it for this
+    # subprocess (it IS the on-hardware test).
+    axon = env.pop("SEGALIGN_AXON_SITE", "")
+    if axon:
+        env["PYTHONPATH"] = env["PYTHONPATH"] + os.pathsep + axon
     r = subprocess.run([sys.executable, "-c", SCRIPT], env=env,
                        capture_output=True, text=True, timeout=1500)
     if r.returncode != 0:
         transient = ("ABORTED", "worker process crashed",
-                     "Unable to initialize backend")
+                     "Unable to initialize backend", "no accelerator")
         if any(t in r.stderr for t in transient):
             pytest.skip("TPU busy/unavailable (single-client tunnel): "
                         + r.stderr[-200:])
