@@ -48,7 +48,9 @@ def build_seed_table(ref_codes: np.ndarray, step: int, shape_pos,
     kmer = kmer[valid]
 
     counts = np.bincount(kmer, minlength=4 ** kmer_size)
-    index_table = np.cumsum(counts).astype(np.int32)
+    # int32 accumulation halves the table's fresh-page footprint (positions
+    # per block are < 2^31 by construction: blocks cap at 500 MB)
+    index_table = np.cumsum(counts, dtype=np.int32)
     order = np.argsort(kmer, kind="stable")
     pos_table = positions[order].astype(np.int32)
     return index_table, pos_table

@@ -110,14 +110,8 @@ def _run_dir(seq_r, seq_q, loc_r, loc_q, valid, sub_flat, xdrop, ref_len,
     return {kk: merge(cst[kk], st[kk]) for kk in _STATE}
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "W", "CONT"))
-def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
-                   xdrop, hspthresh, ref_len, query_len, *, pad: int,
-                   W: int = 256, CONT: int = 4096):
-    """Extend a hit batch to completion in ONE device program.
-
-    Same contract as ops/extend3.extend_hits_windowed but fully jitted:
-    returns dict(candidate, rs, qs, length, total, counts)."""
+def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
+                 xdrop, hspthresh, ref_len, query_len, *, pad, W, CONT):
     loc_r = jnp.where(valid, jnp.asarray(ref_loc, jnp.int32), 0)
     loc_q = jnp.where(valid, jnp.asarray(query_loc, jnp.int32), 0)
     B = loc_r.shape[0]
@@ -131,3 +125,55 @@ def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
     return _finalize.__wrapped__(valid, loc_r, loc_q, st_r["maxv"],
                                  st_r["maxp"], st_l["maxv"], st_l["maxp"],
                                  st_l["counts"], hspthresh)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "W", "CONT"))
+def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
+                   xdrop, hspthresh, ref_len, query_len, *, pad: int,
+                   W: int = 256, CONT: int = 4096):
+    """Extend a hit batch to completion in ONE device program.
+
+    Same contract as ops/extend3.extend_hits_windowed but fully jitted:
+    returns dict(candidate, rs, qs, length, total, counts)."""
+    return _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid,
+                        sub_flat, xdrop, hspthresh, ref_len, query_len,
+                        pad=pad, W=W, CONT=CONT)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad", "W", "CONT", "CBUF"))
+def extend_compact_program(ref_pad, query_pad, ref_loc, query_loc, m,
+                           sub_flat, xdrop, hspthresh, ref_len, query_len,
+                           *, pad: int, W: int = 256, CONT: int = 4096,
+                           CBUF: int = 2048):
+    """extend_program + on-device candidate compaction, minimizing D2H.
+
+    Rows [0, m) of the HBUF-sized hit arrays are live. Returns
+      n      — int32 candidate count (transfer is 4 bytes)
+      packed — (CBUF, 9) int32: row_index, rs, qs, length, total,
+               counts[4] — only rows [0, min(n, CBUF)) are meaningful. When n > CBUF the caller must fall back to
+               extend_program for this range (rare; CBUF is sized above
+               the per-program candidate tail).
+
+    The on-device analog of compress_output + the D2H copy
+    (/root/reference/src/seed_filter.cu:654-680,788): the reference also
+    compacts before copying; round 1 shipped full buffers instead, which
+    dominated wall time on a ~20 MB/s host<->device link.
+    """
+    B = ref_loc.shape[0]
+    valid = jnp.arange(B, dtype=jnp.int32) < m
+    fin = _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid,
+                       sub_flat, xdrop, hspthresh, ref_len, query_len,
+                       pad=pad, W=W, CONT=CONT)
+    cand = fin["candidate"]
+    n = jnp.sum(cand.astype(jnp.int32))
+    # stable compaction via argsort (TPU scatter is slow); row order is
+    # preserved so the host can split rows back into logical batches
+    perm = jnp.argsort(jnp.logical_not(cand), stable=True)
+    sel = perm[:CBUF].astype(jnp.int32)
+    take = lambda a: jnp.take(a, sel, axis=0)
+    packed = jnp.concatenate([
+        sel[:, None], take(fin["rs"])[:, None], take(fin["qs"])[:, None],
+        take(fin["length"])[:, None], take(fin["total"])[:, None],
+        take(fin["counts"])], axis=1)
+    return n, packed

@@ -66,38 +66,86 @@ class MultiDeviceAligner:
         for a in self.aligners:
             a.set_query(fw_codes, rc_codes)
 
-    def map_chunks(self, work: List[ChunkWork]) -> List[ChunkResult]:
-        """Process chunks across all devices; results in input order."""
+    def map_chunks(self, work: List[ChunkWork],
+                   depth: int = 4) -> List[ChunkResult]:
+        """Process chunks across all devices; results in input order.
+
+        Each device worker keeps up to `depth` chunks in flight (async
+        dispatch pipelining, see DeviceAligner.map_chunks). A worker that
+        fails requeues its in-flight chunks so surviving devices (or a
+        final sequential pass) complete them — the retry the reference
+        lacks (a failed SeedAndFilter is fatal there,
+        common/cuda_utils.h:4-37)."""
         if len(self.aligners) == 1:
-            return [self.aligners[0].seed_and_filter(
-                w.chunk_start, w.chunk_end, w.rev, window=w.window)
-                for w in work]
+            return self.aligners[0].map_chunks(work, depth=depth)
 
         q: "queue.Queue[tuple[int, ChunkWork]]" = queue.Queue()
         for i, w in enumerate(work):
             q.put((i, w))
         results: List[Optional[ChunkResult]] = [None] * len(work)
         errors: List[BaseException] = []
+        dead: set = set()
 
-        def worker(aligner: DeviceAligner):
-            while True:
-                try:
-                    i, w = q.get_nowait()
-                except queue.Empty:
-                    return
-                try:
-                    results[i] = aligner.seed_and_filter(
-                        w.chunk_start, w.chunk_end, w.rev, window=w.window)
-                except BaseException as e:  # surface to caller
-                    errors.append(e)
-                    return
+        def worker(ai: int, aligner: DeviceAligner):
+            pend: List[tuple] = []  # (i, w, PendingChunk)
+            pipelined = aligner._native_seeder is not None
+            try:
+                while True:
+                    try:
+                        i, w = q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if pipelined:
+                        pend.append((i, w, aligner.dispatch_chunk(
+                            w.chunk_start, w.chunk_end, w.rev,
+                            window=w.window)))
+                        if len(pend) > depth:
+                            j, _, pd = pend.pop(0)
+                            results[j] = aligner.finish_chunk(pd)
+                    else:
+                        results[i] = aligner.seed_and_filter(
+                            w.chunk_start, w.chunk_end, w.rev,
+                            window=w.window)
+                while pend:
+                    j, _, pd = pend.pop(0)
+                    results[j] = aligner.finish_chunk(pd)
+            except BaseException as e:
+                errors.append(e)
+                dead.add(ai)
+                # requeue everything this worker had in flight
+                for j, wj, _ in pend:
+                    if results[j] is None:
+                        q.put((j, wj))
+                if "i" in locals() and results[i] is None:
+                    q.put((i, w))
 
-        threads = [threading.Thread(target=worker, args=(a,))
-                   for a in self.aligners]
+        threads = [threading.Thread(target=worker, args=(ai, a))
+                   for ai, a in enumerate(self.aligners)]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
-        if errors:
-            raise errors[0]
+
+        missing = [k for k, r in enumerate(results) if r is None]
+        if missing:
+            # workers may have exited before the requeue landed; finish the
+            # stragglers on a surviving device (or raise if none survive)
+            alive = [a for ai, a in enumerate(self.aligners)
+                     if ai not in dead]
+            if not alive:
+                raise errors[0]
+            import sys
+            print(f"segalign_tpu: retrying {len(missing)} chunk(s) after "
+                  f"device failure", file=sys.stderr)
+            by_idx = {}
+            while True:
+                try:
+                    i, w = q.get_nowait()
+                except queue.Empty:
+                    break
+                by_idx[i] = w
+            for k in missing:
+                w = by_idx.get(k) or work[k]
+                results[k] = alive[0].seed_and_filter(
+                    w.chunk_start, w.chunk_end, w.rev, window=w.window)
         return results  # type: ignore[return-value]

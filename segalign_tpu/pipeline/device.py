@@ -160,6 +160,31 @@ class ChunkResult:
     num_seeds: int
 
 
+@dataclass
+class PendingChunk:
+    """In-flight device work for one chunk (native path).
+
+    Device programs are dispatched but NOT synced; finish_chunk() collects
+    them. This is the unit of software pipelining: while the device chews
+    on chunk k's programs, the host seeds chunk k+1 and finalizes chunk
+    k-1 (the TBB reader/seeder/printer overlap of the reference,
+    /root/reference/src/main.cpp:553-573, re-expressed as async dispatch).
+    """
+    chunk_start: int
+    chunk_end: int
+    rev: bool
+    num_seeds: int
+    num_hits: int
+    # per program: (n_dev, packed_dev, row_offset, m)
+    progs: list
+    # logical-batch boundaries (reference max_hits iteration batching)
+    # as end offsets into the filtered row stream
+    seg_ends: np.ndarray
+    # filtered hit stream kept on host for the rare CBUF-overflow re-run
+    ref_loc: Optional[np.ndarray] = None
+    query_loc: Optional[np.ndarray] = None
+
+
 class DeviceAligner:
     """Holds device-resident state for one (ref block, query block) pair and
     runs per-chunk seed-filter-extend calls."""
@@ -168,7 +193,8 @@ class DeviceAligner:
                  xdrop, hspthresh, noentropy, chunk_size,
                  max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 15,
                  B: int = 1 << 14, W: int = 128, rm_mode: bool = False,
-                 twophase: bool = True, window: int = 512, device=None):
+                 twophase: bool = True, window: int = 512, device=None,
+                 CBUF: int = 0):
         self.shape_pos = tuple(shape_pos)
         self.seed_size = seed_size
         self.kmer_size = len(shape_pos)
@@ -180,6 +206,11 @@ class DeviceAligner:
         self.chunk_size = chunk_size
         self.max_hits = max_hits
         self.HBUF = HBUF
+        # device-side compaction width: candidates per HBUF program kept on
+        # device before D2H (overflow -> exact host re-run, see
+        # finish_chunk). SEGALIGN_CBUF overrides for repeat-dense genomes.
+        self.CBUF = (CBUF or int(os.environ.get("SEGALIGN_CBUF", "0"))
+                     or 2048)
         self.B = B
         self.W = W
         self.twophase = twophase
@@ -249,10 +280,26 @@ class DeviceAligner:
         self._q_fw_host = np.ascontiguousarray(fw_codes, np.uint8)
         self._q_rc_host = np.ascontiguousarray(rc_codes, np.uint8)
 
-    def map_chunks(self, work):
-        """Sequential chunk processing (MultiDeviceAligner-compatible)."""
-        return [self.seed_and_filter(w.chunk_start, w.chunk_end, w.rev,
-                                     window=w.window) for w in work]
+    def map_chunks(self, work, depth: int = 4):
+        """Pipelined chunk processing (MultiDeviceAligner-compatible).
+
+        Keeps up to `depth` chunks in flight: host seeding of chunk k+1 and
+        host finalize/dedup of chunk k-depth overlap the device programs of
+        chunks k-depth+1..k (JAX async dispatch)."""
+        if self._native_seeder is None:
+            return [self.seed_and_filter(w.chunk_start, w.chunk_end, w.rev,
+                                         window=w.window) for w in work]
+        from collections import deque
+        results = []
+        pend: "deque[PendingChunk]" = deque()
+        for w in work:
+            pend.append(self.dispatch_chunk(w.chunk_start, w.chunk_end,
+                                            w.rev, window=w.window))
+            if len(pend) > depth:
+                results.append(self.finish_chunk(pend.popleft()))
+        while pend:
+            results.append(self.finish_chunk(pend.popleft()))
+        return results
 
     # -- per-chunk call (analog of SeedAndFilter) ---------------------------
 
@@ -287,13 +334,19 @@ class DeviceAligner:
                                 rev: bool,
                                 window: Optional[Tuple[int, int]]
                                 ) -> ChunkResult:
-        """Host-native seeding/expansion + device extension.
+        return self.finish_chunk(
+            self.dispatch_chunk(chunk_start, chunk_end, rev, window))
 
-        Same output contract as the device path; seeding, hit expansion and
-        batch planning run in native/seeder.cpp (reference-exact), the
-        x-drop extension runs on the TPU as ONE program per subrange
-        (ops/extend_fused), entropy/dedup on host."""
-        from ..ops.extend_fused import extend_program
+    def dispatch_chunk(self, chunk_start: int, chunk_end: int, rev: bool,
+                       window: Optional[Tuple[int, int]] = None
+                       ) -> PendingChunk:
+        """Host-native seeding/expansion + async device extension dispatch.
+
+        Seeding, hit expansion and batch planning run in native/seeder.cpp
+        (reference-exact); the x-drop extension + candidate compaction run
+        on the TPU as ONE program per HBUF subrange (ops/extend_fused).
+        Nothing here blocks on the device."""
+        from ..ops.extend_fused import extend_compact_program
         tm = _StageTimer(_TIMING)
         t0 = time.time()
         q_host = self._q_rc_host if rev else self._q_fw_host
@@ -303,81 +356,134 @@ class DeviceAligner:
                 q_host, chunk_start, chunk_end - chunk_start, index_table,
                 pos_table, self.shape_pos, self.seed_size, self.max_hits))
         tm.add("seeds", time.time() - t0)
-        if num_seeds == 0:
-            return ChunkResult(np.zeros((0, 4), np.int64), 0, 0)
-        if num_hits == 0:
-            return ChunkResult(np.zeros((0, 4), np.int64), 0, num_seeds)
+        empty = PendingChunk(chunk_start, chunk_end, rev, num_seeds,
+                             num_hits, [], np.zeros(0, np.int64))
+        if num_seeds == 0 or num_hits == 0:
+            return empty
+
+        # RM window restriction + logical-batch boundary remap
+        t0 = time.time()
+        if window is not None:
+            keep = ((ref_loc >= window[0]) & (ref_loc <= window[1]))
+            kept_cum = np.cumsum(keep, dtype=np.int64)
+            seg_ends = np.array(
+                [int(kept_cum[b - 1]) if b > 0 else 0 for b in hit_bound],
+                np.int64)
+            ref_loc = ref_loc[keep]
+            query_loc = query_loc[keep]
+        else:
+            seg_ends = np.asarray(hit_bound, np.int64)
+        n = len(ref_loc)
+        tm.add("mask", time.time() - t0)
+        if n == 0:
+            return empty
 
         q_pad = self.q_rc if rev else self.q_fw
         HBUF = self.HBUF
-        all_out: List[np.ndarray] = []
-        h0 = 0
-        for h1 in (int(b) for b in hit_bound):
-            if h1 <= h0:
-                continue
+        progs = []
+        for g0 in range(0, n, HBUF):
             t0 = time.time()
-            rl = ref_loc[h0:h1]
-            ql = query_loc[h0:h1]
-            h0 = h1
-            if window is not None:
-                m = (rl >= window[0]) & (rl <= window[1])
-                rl, ql = rl[m], ql[m]
-            n = len(rl)
-            if n == 0:
-                continue
-            tm.add("mask", time.time() - t0)
-            pending = []
-            for g0 in range(0, n, HBUF):
-                t0 = time.time()
-                g1 = min(g0 + HBUF, n)
-                m = g1 - g0
+            g1 = min(g0 + HBUF, n)
+            m = g1 - g0
+            if m < HBUF:
                 buf_r = np.zeros(HBUF, np.int32)
                 buf_q = np.zeros(HBUF, np.int32)
-                buf_r[:m] = rl[g0:g1]
-                buf_q[:m] = ql[g0:g1]
-                valid = np.zeros(HBUF, bool)
-                valid[:m] = True
-                d_r = jax.device_put(buf_r, self.device)
-                d_q = jax.device_put(buf_q, self.device)
-                d_v = jax.device_put(valid, self.device)
-                tm.add("h2d", time.time() - t0)
-                t0 = time.time()
-                res = extend_program(
-                    self.ref_pad, q_pad, d_r, d_q, d_v, self.sub_flat,
-                    self.xdrop, self.hspthresh, self.ref_len, self.q_len,
-                    pad=self.pad, W=self.ext_window)
-                pending.append(res)
-                tm.add("extend", time.time() - t0)
+                buf_r[:m] = ref_loc[g0:g1]
+                buf_q[:m] = query_loc[g0:g1]
+            else:
+                buf_r = ref_loc[g0:g1]
+                buf_q = query_loc[g0:g1]
+            d_r = jax.device_put(buf_r, self.device)
+            d_q = jax.device_put(buf_q, self.device)
+            tm.add("h2d", time.time() - t0)
             t0 = time.time()
-            parts = []
-            for res in pending:
-                out = jax.device_get(
-                    (res["candidate"], res["rs"], res["qs"], res["length"],
-                     res["total"], res["counts"]))
-                cand, rs_a, qs_a, ln_a, tot_a, cnt_a = out
-                idx = np.nonzero(cand)[0]
-                if len(idx):
-                    parts.append((rs_a[idx], qs_a[idx], ln_a[idx],
-                                  tot_a[idx], cnt_a[idx]))
-            tm.add("d2h", time.time() - t0)
-            if not parts:
+            n_dev, packed_dev = extend_compact_program(
+                self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
+                self.xdrop, self.hspthresh, self.ref_len, self.q_len,
+                pad=self.pad, W=self.ext_window, CBUF=self.CBUF)
+            _dbg_sync("extend", n_dev)
+            progs.append((n_dev, packed_dev, g0, m))
+            tm.add("extend", time.time() - t0)
+        tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
+                f"hits={num_hits}")
+        return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
+                            num_hits, progs, seg_ends, ref_loc, query_loc)
+
+    def finish_chunk(self, p: PendingChunk) -> ChunkResult:
+        """Collect a dispatched chunk: D2H of compacted candidates, logical
+        -batch split, host entropy finalize + dedup."""
+        if not p.progs:
+            return ChunkResult(np.zeros((0, 4), np.int64), p.num_hits,
+                               p.num_seeds)
+        tm = _StageTimer(_TIMING)
+        t0 = time.time()
+        fetched = jax.device_get([(n, pk) for (n, pk, _, _) in p.progs])
+        tm.add("d2h", time.time() - t0)
+
+        rows = []  # (global_row_idx, rs, qs, ln, total, counts[4])
+        for (n_c, packed), (_, _, g0, m) in zip(fetched, p.progs):
+            n_c = int(n_c)
+            if n_c == 0:
                 continue
-            t0 = time.time()
-            rs = np.concatenate([p[0] for p in parts]).astype(np.int64)
-            qs = np.concatenate([p[1] for p in parts]).astype(np.int64)
-            ln = np.concatenate([p[2] for p in parts]).astype(np.int64)
-            total = np.concatenate([p[3] for p in parts]).astype(np.int64)
-            counts = np.concatenate([p[4] for p in parts]).astype(np.int64)
-            out_arr = self._finalize_batch(rs, qs, ln, total, counts, rev)
+            if n_c > packed.shape[0]:
+                # CBUF overflow (candidate-dense program): exact re-run
+                # without compaction
+                t0 = time.time()
+                packed = self._rerun_uncompacted(p, g0, m)
+                tm.add("rerun", time.time() - t0)
+                n_c = packed.shape[0]
+            part = packed[:n_c].astype(np.int64)
+            part[:, 0] += g0
+            rows.append(part)
+        if not rows:
+            tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev}")
+            return ChunkResult(np.zeros((0, 4), np.int64), p.num_hits,
+                               p.num_seeds)
+
+        t0 = time.time()
+        allrows = np.concatenate(rows, axis=0)
+        seg = np.searchsorted(p.seg_ends, allrows[:, 0], side="right")
+        all_out: List[np.ndarray] = []
+        for s in np.unique(seg):
+            r = allrows[seg == s]
+            out_arr = self._finalize_batch(
+                r[:, 1], r[:, 2], r[:, 3], r[:, 4], r[:, 5:9], p.rev)
             if out_arr is not None:
                 all_out.append(out_arr)
-            tm.add("host_dedup", time.time() - t0)
-
         hsps = (np.concatenate(all_out, axis=0) if all_out
                 else np.zeros((0, 4), np.int64))
-        tm.dump(f"chunk {chunk_start}:{chunk_end} rev={rev} "
-                f"hits={num_hits} [native]")
-        return ChunkResult(hsps, num_hits, num_seeds)
+        tm.add("host_dedup", time.time() - t0)
+        tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev} "
+                f"cand={len(allrows)}")
+        return ChunkResult(hsps, p.num_hits, p.num_seeds)
+
+    def _rerun_uncompacted(self, p: PendingChunk, g0: int, m: int
+                           ) -> np.ndarray:
+        """Exact fallback when a program's candidate count exceeds CBUF:
+        re-extend rows [g0, g0+m) and compact on host. Returns (n, 9)."""
+        from ..ops.extend_fused import extend_program
+        HBUF = self.HBUF
+        buf_r = np.zeros(HBUF, np.int32)
+        buf_q = np.zeros(HBUF, np.int32)
+        buf_r[:m] = p.ref_loc[g0:g0 + m]
+        buf_q[:m] = p.query_loc[g0:g0 + m]
+        valid = np.zeros(HBUF, bool)
+        valid[:m] = True
+        q_pad = self.q_rc if p.rev else self.q_fw
+        res = extend_program(
+            self.ref_pad, q_pad, jax.device_put(buf_r, self.device),
+            jax.device_put(buf_q, self.device),
+            jax.device_put(valid, self.device), self.sub_flat, self.xdrop,
+            self.hspthresh, self.ref_len, self.q_len, pad=self.pad,
+            W=self.ext_window)
+        cand, rs, qs, ln, tot, cnt = jax.device_get(
+            (res["candidate"], res["rs"], res["qs"], res["length"],
+             res["total"], res["counts"]))
+        idx = np.nonzero(cand)[0].astype(np.int32)
+        return np.concatenate(
+            [idx[:, None], rs[idx][:, None], qs[idx][:, None],
+             ln[idx][:, None], tot[idx][:, None], cnt[idx]],
+            axis=1)
 
     def _seed_and_filter_device(self, chunk_start: int, chunk_end: int,
                                 rev: bool,

@@ -1,0 +1,97 @@
+"""Pipelined dispatch/finish engine: CBUF-overflow fallback + equivalence.
+
+The native path compacts candidates on device into CBUF rows per program
+(ops/extend_fused.extend_compact_program); when a program has more
+candidates than CBUF, finish_chunk re-runs it uncompacted. Both paths and
+the pipelined map_chunks must be bit-identical to the per-chunk API.
+"""
+
+import numpy as np
+
+from segalign_tpu.config import make_seed_config, build_substitution_matrix
+from segalign_tpu.io.blocks import chunk_interval
+from segalign_tpu.parallel.multi import ChunkWork
+from segalign_tpu.pipeline.device import DeviceAligner
+
+RC = np.array([3, 2, 1, 0, 4, 5, 6, 7], np.uint8)
+
+
+def _dense_pair(rng, n=3000):
+    """A pair with a long exact repeat so nearly every hit is a candidate
+    (forces CBUF overflow at small CBUF)."""
+    ref = rng.integers(0, 4, n).astype(np.uint8)
+    query = rng.integers(0, 4, n).astype(np.uint8)
+    core = rng.integers(0, 4, 1200).astype(np.uint8)
+    ref[200:1400] = core
+    query[300:1500] = core
+    return ref, query
+
+
+def _mk(sc, sub, cbuf, hbuf=512):
+    return DeviceAligner(
+        shape_pos=sc.shape_pos, seed_size=sc.size, transition=sc.transition,
+        step=1, sub_mat=sub, xdrop=910, hspthresh=1500, noentropy=False,
+        chunk_size=512, max_hits=10**9, HBUF=hbuf, B=256, W=128,
+        CBUF=cbuf)
+
+
+def test_cbuf_overflow_fallback_is_exact():
+    rng = np.random.default_rng(11)
+    sc = make_seed_config("12of19")
+    sub = build_substitution_matrix(910)
+    ref, query = _dense_pair(rng)
+    qrc = RC[query[::-1]]
+
+    big = _mk(sc, sub, cbuf=512)   # never overflows (CBUF == HBUF)
+    tiny = _mk(sc, sub, cbuf=8)    # overflows on the dense chunks
+    for al in (big, tiny):
+        al.set_ref(ref)
+        al.set_query(query, qrc)
+    if big._native_seeder is None:
+        import pytest
+        pytest.skip("native seeder unavailable")
+
+    overflowed = 0
+    for (cs, ce) in chunk_interval(0, len(query) - sc.size, 512):
+        for rev in (False, True):
+            want = big.seed_and_filter(cs, ce, rev)
+            pend = tiny.dispatch_chunk(cs, ce, rev)
+            # count programs that will overflow CBUF=8
+            import jax
+            for (n_dev, _, _, _) in pend.progs:
+                if int(jax.device_get(n_dev)) > 8:
+                    overflowed += 1
+            got = tiny.finish_chunk(pend)
+            assert got.num_hits == want.num_hits
+            np.testing.assert_array_equal(got.hsps, want.hsps,
+                                          err_msg=f"{cs}:{ce} rev={rev}")
+    assert overflowed > 0  # the fallback was actually exercised
+
+
+def test_pipelined_map_chunks_matches_sequential():
+    rng = np.random.default_rng(12)
+    sc = make_seed_config("12of19")
+    sub = build_substitution_matrix(910)
+    ref, query = _dense_pair(rng, n=4000)
+    qrc = RC[query[::-1]]
+
+    al = _mk(sc, sub, cbuf=512)
+    al.set_ref(ref)
+    al.set_query(query, qrc)
+    if al._native_seeder is None:
+        import pytest
+        pytest.skip("native seeder unavailable")
+
+    work = [ChunkWork(cs, ce, rev)
+            for (cs, ce) in chunk_interval(0, len(query) - sc.size, 512)
+            for rev in (False, True)]
+    seq = [al.seed_and_filter(w.chunk_start, w.chunk_end, w.rev)
+           for w in work]
+    piped = al.map_chunks(work, depth=3)
+    assert len(seq) == len(piped)
+    nonzero = 0
+    for a, b in zip(seq, piped):
+        assert a.num_hits == b.num_hits and a.num_seeds == b.num_seeds
+        np.testing.assert_array_equal(a.hsps, b.hsps)
+        nonzero += len(a.hsps)
+    assert nonzero > 0
