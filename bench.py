@@ -84,19 +84,21 @@ def main():
     al.seed_and_filter(0, CHUNK, rev=False)
     al.seed_and_filter(0, CHUNK, rev=True)
 
-    t1 = time.time()
-    stats = dict(hsps=0, hits=0, seeds=0)
+    from segalign_tpu.parallel.multi import ChunkWork
+    work = []
     for cs in range(0, q_len, CHUNK):
         ce = min(cs + CHUNK, q_len)
-        for rev in (False, True):
-            r = al.seed_and_filter(cs, ce, rev=rev)
-            stats["hsps"] += len(r.hsps)
-            stats["hits"] += r.num_hits
-            stats["seeds"] += r.num_seeds
-        done_mbp = ce / 1e6
-        el = time.time() - t1
-        print(f"bench progress: {done_mbp:.2f} Mbp in {el:.1f}s "
-              f"({done_mbp / el:.3f} Mbp/s)", file=sys.stderr, flush=True)
+        work.append(ChunkWork(cs, ce, False))
+        work.append(ChunkWork(cs, ce, True))
+
+    t1 = time.time()
+    stats = dict(hsps=0, hits=0, seeds=0)
+    # pipelined production path: dispatch-ahead chunk processing
+    results = al.map_chunks(work, depth=6)
+    for r in results:
+        stats["hsps"] += len(r.hsps)
+        stats["hits"] += r.num_hits
+        stats["seeds"] += r.num_seeds
     dt = time.time() - t1
 
     mbps = (n_query / 1e6) / dt

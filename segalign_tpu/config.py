@@ -182,9 +182,8 @@ class Config:
     debug: bool = False
 
     # TPU-specific knobs (no reference equivalent)
-    max_seeds: int = 0          # 0 => derived like the reference (13x or 1x chunk)
     max_hits: int = 0           # 0 => derived from device memory
-    use_pallas: bool = True     # use the Pallas extension kernel when on TPU
+    use_pallas: bool = True     # Pallas extension engine on TPU (False => XLA step)
     device_hbuf: int = 0        # hit-buffer slots per device dispatch (0=auto)
     device_batch: int = 0       # extension sub-batch rows (0=auto)
 
@@ -230,7 +229,6 @@ class RMConfig:
     num_devices: int = -1
     debug: bool = False
 
-    max_seeds: int = 0
     max_hits: int = 0
     use_pallas: bool = True
 

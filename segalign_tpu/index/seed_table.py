@@ -17,8 +17,15 @@ import numpy as np
 
 
 def build_seed_table(ref_codes: np.ndarray, step: int, shape_pos,
-                     seed_size: int, kmer_size: int):
+                     seed_size: int, kmer_size: int,
+                     use_native: bool = True):
     assert 3 < kmer_size <= 15
+    if use_native:
+        from ..native import build_seed_table_fast
+        r = build_seed_table_fast(ref_codes, step, shape_pos, seed_size,
+                                  kmer_size)
+        if r is not None:
+            return r
     ref_len = len(ref_codes)
     offset = (seed_size + 1) % step
     start_offset = step - offset

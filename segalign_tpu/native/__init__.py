@@ -73,6 +73,10 @@ def get_lib():
             i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p]
         lib.seed_chunk_emit.restype = None
+        lib.build_seed_table_native.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p]
+        lib.build_seed_table_native.restype = ctypes.c_int64
         _lib = lib
         return _lib
     except Exception as e:  # pragma: no cover
@@ -198,3 +202,29 @@ def gapped_extend_native(ref_codes, query_codes, sub8x8, gap_open,
         return None
     return (int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]),
             int(meta[4]), bytes(ops[:n]))
+
+
+def build_seed_table_fast(ref_codes, step: int, shape_pos, seed_size: int,
+                          kmer_size: int):
+    """Native threaded table build; returns (index_table, pos_table) or
+    None when the native lib is unavailable. Output-identical to
+    index/seed_table.py::build_seed_table (tested)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ref_codes = np.ascontiguousarray(ref_codes, np.uint8)
+    sp = np.ascontiguousarray(np.asarray(shape_pos), np.int32)
+    offset = (seed_size + 1) % step
+    num_steps = (len(ref_codes) - seed_size + offset) // step
+    tablesize = 4 ** kmer_size
+    index_table = np.zeros(tablesize, np.int32)
+    if num_steps <= 0:
+        return index_table, np.zeros(0, np.int32)
+    pos_table = np.empty(num_steps, np.int32)
+    kscratch = np.empty(num_steps, np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.build_seed_table_native(
+        ref_codes.ctypes.data_as(u8p), len(ref_codes), step, _as_i32p(sp),
+        kmer_size, seed_size, os.cpu_count() or 1, _as_i32p(index_table),
+        _as_i32p(pos_table), _as_i32p(kscratch))
+    return index_table, pos_table[:n]

@@ -272,3 +272,83 @@ void seed_chunk_emit(const int32_t* pos_table, const int32_t* cnt,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Seed position table build (TPU-native equivalent of GenerateSeedPosTable,
+// /root/reference/common/seed_pos_table.cu:49-109). Same output contract as
+// index/seed_table.py::build_seed_table (deterministic ascending-position
+// buckets): index_table[4^k] inclusive cumulative counts, pos_table bucket-
+// major. The numpy build pays tens of seconds in allocator page faults on
+// lazily-backed VMs; this one runs in-place in caller-owned buffers.
+
+extern "C" {
+
+// codes[ref_len] -> index_table[4^kmer] (must be ZEROED on entry),
+// pos_table[num_steps cap], kmer_scratch[num_steps cap]. Returns the number
+// of positions written to pos_table (invalid windows skipped).
+int64_t build_seed_table_native(const uint8_t* codes, int64_t ref_len,
+                                int64_t step, const int32_t* shape_pos,
+                                int64_t kmer_size, int64_t seed_size,
+                                int64_t nthreads, int32_t* index_table,
+                                int32_t* pos_table, int32_t* kmer_scratch) {
+    const int64_t offset = (seed_size + 1) % step;
+    const int64_t start_offset = step - offset;
+    const int64_t num_steps = (ref_len - seed_size + offset) / step;
+    if (num_steps <= 0) return 0;
+    const int64_t tablesize = int64_t(1) << (2 * kmer_size);
+
+    // phase 1 (threaded): validity + kmer per step position; histogram via
+    // atomic adds (buckets are numerous, contention negligible)
+    const int64_t T = nthreads > 1 && num_steps > (1 << 16) ? nthreads : 1;
+    std::vector<std::thread> ths;
+    const int64_t per = (num_steps + T - 1) / T;
+    auto phase1 = [&](int64_t i0, int64_t i1) {
+        for (int64_t i = i0; i < i1; i++) {
+            const int64_t p = start_offset + i * step;
+            const uint8_t* w = codes + p;
+            bool ok = true;
+            for (int64_t j = 0; j < seed_size; j++) {
+                if (w[j] >= 4) { ok = false; break; }
+            }
+            if (!ok) { kmer_scratch[i] = -1; continue; }
+            uint32_t km = 0;
+            for (int64_t j = 0; j < kmer_size; j++) {
+                km = (km << 2) | (uint32_t)(w[shape_pos[j]] & 3);
+            }
+            kmer_scratch[i] = (int32_t)km;
+            __atomic_fetch_add(&index_table[km], 1, __ATOMIC_RELAXED);
+        }
+    };
+    if (T == 1) {
+        phase1(0, num_steps);
+    } else {
+        for (int64_t t = 0; t < T; t++) {
+            const int64_t i0 = t * per, i1 = std::min(num_steps, i0 + per);
+            if (i0 >= i1) break;
+            ths.emplace_back(phase1, i0, i1);
+        }
+        for (auto& th : ths) th.join();
+        ths.clear();
+    }
+
+    // phase 2: exclusive prefix in place (cursors for the scatter)
+    int32_t run = 0;
+    for (int64_t k = 0; k < tablesize; k++) {
+        const int32_t c = index_table[k];
+        index_table[k] = run;
+        run += c;
+    }
+
+    // phase 3: stable scatter in ascending position order; afterwards
+    // index_table[k] = exclusive[k] + count[k] = inclusive prefix
+    int64_t n = 0;
+    for (int64_t i = 0; i < num_steps; i++) {
+        const int32_t km = kmer_scratch[i];
+        if (km < 0) continue;
+        pos_table[index_table[km]++] = (int32_t)(start_offset + i * step);
+        n++;
+    }
+    return n;
+}
+
+}  // extern "C"

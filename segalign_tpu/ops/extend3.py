@@ -29,15 +29,17 @@ from .scan_utils import robust_call as _robust_call
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "W", "left"))
-def _extension_window_step_jit(seq_r_pad, seq_q_pad, loc_r, loc_q, k, done,
-                               cum, maxv, maxp, counts, cdel, sub_flat,
-                               xdrop, ref_len, query_len, *, pad: int,
-                               W: int, left: bool):
-    """Process window k (positions [k*W, (k+1)*W) from the anchor) for every
-    live hit. Returns updated state + number of still-live hits."""
+def _extension_window_step_jit(seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
+                               done, cum, maxv, maxp, counts, cdel,
+                               sub_flat, xdrop, ref_len, query_len, *,
+                               pad: int, W: int, left: bool):
+    """Process the window covering positions [tile, tile+W) from the anchor
+    for every live hit. Returns updated state + number of still-live hits.
+    (`tile` is an explicit offset so continuation phases can use a wider
+    window than the first one; results are window-width independent, see
+    oracle/scan_spec.py.)"""
     B = loc_r.shape[0]
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
-    tile = k * W
     alive = jnp.logical_not(done)
 
     def one(s):
@@ -139,10 +141,10 @@ def _matmul_cumsum(sc, W):
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "W", "left"))
-def _extension_window_step_lean(seq_r_pad, seq_q_pad, loc_r, loc_q, k, done,
-                                cum, maxv, maxp, counts, cdel, sub_flat,
-                                xdrop, ref_len, query_len, *, pad: int,
-                                W: int, left: bool):
+def _extension_window_step_lean(seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
+                                done, cum, maxv, maxp, counts, cdel,
+                                sub_flat, xdrop, ref_len, query_len, *,
+                                pad: int, W: int, left: bool):
     """Semantically identical to _extension_window_step_jit, restructured
     for the TPU cost model: lane cumsum on the MXU, cummax as log-step
     shifted maxes, entropy counts as 8 masked row reductions (no (B, W, 4)
@@ -150,7 +152,6 @@ def _extension_window_step_lean(seq_r_pad, seq_q_pad, loc_r, loc_q, k, done,
     test suite."""
     B = loc_r.shape[0]
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
-    tile = k * W
     alive = jnp.logical_not(done)
 
     if left:
@@ -242,12 +243,11 @@ def extension_window_step(*args, **kw):
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "W", "left"))
-def _gather_window_jit(seq_r_pad, seq_q_pad, loc_r, loc_q, k, ref_len,
+def _gather_window_jit(seq_r_pad, seq_q_pad, loc_r, loc_q, tile, ref_len,
                       query_len, *, pad: int, W: int, left: bool):
     """XLA half of the Pallas path: window gathers + bounds mask."""
     B = loc_r.shape[0]
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
-    tile = k * W
     if left:
         p = tile + 1 + lanes
         r = jax.vmap(lambda st: jax.lax.dynamic_slice(seq_r_pad, (st,), (W,))
@@ -266,20 +266,20 @@ def _gather_window_jit(seq_r_pad, seq_q_pad, loc_r, loc_q, k, ref_len,
     return r, q, inb.astype(jnp.int32)
 
 
-def _extension_window_step_pallas(seq_r_pad, seq_q_pad, loc_r, loc_q, k,
+def _extension_window_step_pallas(seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
                                   done, cum, maxv, maxp, counts, cdel,
                                   sub_flat, xdrop, ref_len, query_len, *,
                                   pad: int, W: int, left: bool):
     from .extend_pallas import window_scan_pallas
     interpret = next(iter(seq_r_pad.devices())).platform != "tpu"
     r, q, inb = _robust_call(
-        _gather_window_jit, seq_r_pad, seq_q_pad, loc_r, loc_q, k, ref_len,
-        query_len, pad=pad, W=W, left=left)
+        _gather_window_jit, seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
+        ref_len, query_len, pad=pad, W=W, left=left)
     B = loc_r.shape[0]
     BR = min(256, B)
     o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = _robust_call(
         window_scan_pallas, r, q, inb, cum, maxv, maxp, done, counts, cdel,
-        sub_flat, xdrop, k * W, W=W, left=left, BR=BR, interpret=interpret)
+        sub_flat, xdrop, tile, W=W, left=left, BR=BR, interpret=interpret)
     out = dict(done=o_done, cum=o_cum, maxv=o_maxv, maxp=o_maxp,
                counts=o_counts, cdel=o_cdel)
     out["n_alive"] = jnp.sum(jnp.logical_not(o_done).astype(jnp.int32))
@@ -356,7 +356,7 @@ def extend_hits_windowed(ref_pad, query_pad, ref_loc, query_loc, valid,
 
     def step(lr, lq, st, k, left, w):
         st2 = extension_window_step(
-            ref_pad, query_pad, lr, lq, k, st["done"], st["cum"],
+            ref_pad, query_pad, lr, lq, k * w, st["done"], st["cum"],
             st["maxv"], st["maxp"], st["counts"], st["cdel"], sub_flat,
             xdrop, ref_len, query_len, pad=pad, W=w, left=left)
         return st2, int(st2["n_alive"])

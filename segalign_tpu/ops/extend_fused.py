@@ -30,18 +30,108 @@ from .extend3 import _finalize, window_step_fn
 _STATE = ("done", "cum", "maxv", "maxp", "counts", "cdel")
 
 
-def _step(seq_r, seq_q, loc_r, loc_q, k, st, sub_flat, xdrop, ref_len,
-          query_len, *, pad, W, left):
+def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
+                 ref_len, query_len, *, pad, W, left, interpret=False):
+    """Window step as DMA row-gathers + the fused Pallas scan kernel.
+
+    Semantically identical to the XLA step (window_step_fn); ~40x faster on
+    TPU at (32768, 512): XLA lowers the (B, W) substitution-table lookup
+    and scan soup latency-bound (~150 ms), while the Pallas kernel runs the
+    whole post-gather scan in VMEM (~0.3 ms) and gather_rows_pallas
+    pipelines the HBM row reads (~0.13 ms vs ~2 ms for XLA's gather at
+    random starts). Requires sequences padded with right_pad >=
+    awin_for(W)."""
+    from .extend_pallas import gather_rows_pallas, window_scan_pallas, \
+        awin_for
+    AW = awin_for(W)
+    B = loc_r.shape[0]
+    # scan-kernel block height scales down with window width (VMEM budget)
+    BR = min(256, B, max(8, (1 << 17) // W))
+    assert B % BR == 0 and BR % 8 == 0, (B, BR)
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
+    if left:
+        r_start = pad + loc_r - tile - W
+        q_start = pad + loc_q - tile - W
+    else:
+        r_start = pad + loc_r + tile
+        q_start = pad + loc_q + tile
+    # done rows keep advancing `tile`; clamp their (masked, unused)
+    # addresses into the DMA-able range
+    r_start = jnp.clip(r_start, 0, seq_r.shape[0] - AW)
+    q_start = jnp.clip(q_start, 0, seq_q.shape[0] - AW)
+    r = gather_rows_pallas(seq_r, r_start, W=W, BR=min(256, B),
+                           interpret=interpret)
+    q = gather_rows_pallas(seq_q, q_start, W=W, BR=min(256, B),
+                           interpret=interpret)
+    if left:
+        p = tile + 1 + lanes
+        r = r[:, ::-1]
+        q = q[:, ::-1]
+        inb = (loc_r[:, None] >= p) & (loc_q[:, None] >= p)
+    else:
+        p = tile + lanes
+        inb = ((loc_r[:, None] + p) < ref_len) & \
+              ((loc_q[:, None] + p) < query_len)
+    o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = window_scan_pallas(
+        r, q, inb.astype(jnp.int32), st["cum"], st["maxv"], st["maxp"],
+        st["done"], st["counts"], st["cdel"], sub_flat, xdrop, tile,
+        W=W, left=left, BR=BR, interpret=interpret)
+    out = dict(done=o_done, cum=o_cum, maxv=o_maxv, maxp=o_maxp,
+               counts=o_counts, cdel=o_cdel)
+    n_alive = jnp.sum(jnp.logical_not(o_done).astype(jnp.int32))
+    return out, n_alive
+
+
+def _step(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop, ref_len,
+          query_len, *, pad, W, left, engine="xla"):
+    if engine in ("pallas", "pallas_interpret"):
+        return _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat,
+                            xdrop, ref_len, query_len, pad=pad, W=W,
+                            left=left,
+                            interpret=engine == "pallas_interpret")
     out = window_step_fn().__wrapped__(
-        seq_r, seq_q, loc_r, loc_q, k, st["done"], st["cum"], st["maxv"],
+        seq_r, seq_q, loc_r, loc_q, tile, st["done"], st["cum"], st["maxv"],
         st["maxp"], st["counts"], st["cdel"], sub_flat, xdrop, ref_len,
         query_len, pad=pad, W=W, left=left)
     n_alive = out.pop("n_alive")
     return out, n_alive
 
 
+def _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
+               xdrop, ref_len, query_len, *, pad, Wc, UNROLL, left, engine):
+    """Continuation while_loop: UNROLL window steps of width Wc per
+    iteration. The data-dependent loop condition serializes the device
+    pipeline (~1 ms/iteration measured on v5e via this host link), so each
+    iteration advances several windows; overshooting a finished batch is
+    exact (steps are no-ops for done rows)."""
+    def cond(c):
+        return c[2] > 0
+
+    def body(c):
+        tile, s, na = c
+        for _ in range(UNROLL):
+            s, na = _step(seq_r, seq_q, c_lr, c_lq, tile, s, sub_flat,
+                          xdrop, ref_len, query_len, pad=pad, W=Wc,
+                          left=left, engine=engine)
+            tile = tile + Wc
+        return tile, s, na
+
+    _, cst, _ = jax.lax.while_loop(cond, body, (tile0, cst, n_alive))
+    return cst
+
+
 def _run_dir(seq_r, seq_q, loc_r, loc_q, valid, sub_flat, xdrop, ref_len,
-             query_len, init_maxp, counts0, *, pad, W, CONT, left):
+             query_len, init_maxp, counts0, *, pad, W, CONT, left,
+             engine, W_CONT=0, UNROLL=4):
+    """One extension direction: first window at width W over the full
+    batch, then a compacted continuation at width W_CONT (defaults to W).
+
+    Wider continuation windows amortize both the per-iteration pipeline
+    stall of the data-dependent while_loop and the per-row DMA issue cost:
+    rows that survive the first window are long homologous extensions
+    (thousands of bases), so fewer/wider windows win. Requires
+    pad >= W_CONT (left-gather lower bound)."""
+    Wc = W_CONT or W
     B = loc_r.shape[0]
     z = jnp.zeros((B,), jnp.int32)
     st = dict(done=jnp.logical_not(valid), cum=z, maxv=z,
@@ -49,38 +139,28 @@ def _run_dir(seq_r, seq_q, loc_r, loc_q, valid, sub_flat, xdrop, ref_len,
               cdel=jnp.zeros((B, 4), jnp.int32))
     st, n_alive = _step(seq_r, seq_q, loc_r, loc_q, jnp.int32(0), st,
                         sub_flat, xdrop, ref_len, query_len, pad=pad, W=W,
-                        left=left)
+                        left=left, engine=engine)
 
     if B <= CONT:
-        # batch fits the continuation width: plain full-batch while_loop
-        def cond(c):
-            _, _, na = c
-            return na > 0
+        # batch already fits the continuation width: no compaction
+        return _cont_loop(seq_r, seq_q, loc_r, loc_q, st, jnp.int32(W),
+                          n_alive, sub_flat, xdrop, ref_len, query_len,
+                          pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
+                          engine=engine)
 
-        def body(c):
-            k, s, _ = c
-            s2, na = _step(seq_r, seq_q, loc_r, loc_q, k, s, sub_flat,
-                           xdrop, ref_len, query_len, pad=pad, W=W,
-                           left=left)
-            return k + 1, s2, na
-
-        _, st, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), st, n_alive))
-        return st
-
-    # phase 2: full-batch stepping while > CONT rows live
+    # phase 2: full-batch stepping at width W while > CONT rows live
     def cond_full(c):
-        _, _, na = c
-        return na > CONT
+        return c[2] > CONT
 
     def body_full(c):
-        k, s, _ = c
-        s2, na = _step(seq_r, seq_q, loc_r, loc_q, k, s, sub_flat, xdrop,
-                       ref_len, query_len, pad=pad, W=W, left=left)
-        return k + 1, s2, na
+        tile, s, _ = c
+        s2, na = _step(seq_r, seq_q, loc_r, loc_q, tile, s, sub_flat,
+                       xdrop, ref_len, query_len, pad=pad, W=W, left=left,
+                       engine=engine)
+        return tile + W, s2, na
 
-    k, st, n_alive = jax.lax.while_loop(
-        cond_full, body_full, (jnp.int32(1), st, n_alive))
+    tile, st, n_alive = jax.lax.while_loop(
+        cond_full, body_full, (jnp.int32(W), st, n_alive))
 
     # phase 3: compact live rows to the front (stable: extend3._alive_order)
     order = jnp.argsort(st["done"], stable=True)
@@ -89,18 +169,9 @@ def _run_dir(seq_r, seq_q, loc_r, loc_q, valid, sub_flat, xdrop, ref_len,
     take = lambda a: jnp.take(a, prefix, axis=0)
     c_lr, c_lq = take(loc_r), take(loc_q)
     cst = {kk: take(st[kk]) for kk in _STATE}
-
-    def cond_c(c):
-        _, _, na = c
-        return na > 0
-
-    def body_c(c):
-        k, s, _ = c
-        s2, na = _step(seq_r, seq_q, c_lr, c_lq, k, s, sub_flat, xdrop,
-                       ref_len, query_len, pad=pad, W=W, left=left)
-        return k + 1, s2, na
-
-    _, cst, _ = jax.lax.while_loop(cond_c, body_c, (k, cst, n_alive))
+    cst = _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile, n_alive,
+                     sub_flat, xdrop, ref_len, query_len, pad=pad, Wc=Wc,
+                     UNROLL=UNROLL, left=left, engine=engine)
 
     # phase 4: merge back (sorted-space concat then unsort; gather-only)
     def merge(c, full):
@@ -111,47 +182,55 @@ def _run_dir(seq_r, seq_q, loc_r, loc_q, valid, sub_flat, xdrop, ref_len,
 
 
 def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
-                 xdrop, hspthresh, ref_len, query_len, *, pad, W, CONT):
+                 xdrop, hspthresh, ref_len, query_len, *, pad, W, CONT,
+                 engine, W_CONT=0, UNROLL=4):
     loc_r = jnp.where(valid, jnp.asarray(ref_loc, jnp.int32), 0)
     loc_q = jnp.where(valid, jnp.asarray(query_loc, jnp.int32), 0)
     B = loc_r.shape[0]
     zc = jnp.zeros((B, 4), jnp.int32)
+    kw = dict(pad=pad, W=W, CONT=CONT, engine=engine, W_CONT=W_CONT,
+              UNROLL=UNROLL)
     st_r = _run_dir(ref_pad, query_pad, loc_r, loc_q, valid, sub_flat,
-                    xdrop, ref_len, query_len, -1, zc, pad=pad, W=W,
-                    CONT=CONT, left=False)
+                    xdrop, ref_len, query_len, -1, zc, left=False, **kw)
     st_l = _run_dir(ref_pad, query_pad, loc_r, loc_q, valid, sub_flat,
-                    xdrop, ref_len, query_len, 0, st_r["counts"], pad=pad,
-                    W=W, CONT=CONT, left=True)
+                    xdrop, ref_len, query_len, 0, st_r["counts"],
+                    left=True, **kw)
     return _finalize.__wrapped__(valid, loc_r, loc_q, st_r["maxv"],
                                  st_r["maxp"], st_l["maxv"], st_l["maxp"],
                                  st_l["counts"], hspthresh)
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "W", "CONT"))
+@functools.partial(jax.jit, static_argnames=("pad", "W", "CONT", "engine",
+                                             "W_CONT", "UNROLL"))
 def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
                    xdrop, hspthresh, ref_len, query_len, *, pad: int,
-                   W: int = 256, CONT: int = 4096):
+                   W: int = 256, CONT: int = 4096, engine: str = "xla",
+                   W_CONT: int = 0, UNROLL: int = 4):
     """Extend a hit batch to completion in ONE device program.
 
     Same contract as ops/extend3.extend_hits_windowed but fully jitted:
     returns dict(candidate, rs, qs, length, total, counts)."""
     return _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid,
                         sub_flat, xdrop, hspthresh, ref_len, query_len,
-                        pad=pad, W=W, CONT=CONT)
+                        pad=pad, W=W, CONT=CONT, engine=engine,
+                        W_CONT=W_CONT, UNROLL=UNROLL)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("pad", "W", "CONT", "CBUF"))
+                   static_argnames=("pad", "W", "CONT", "CBUF", "engine",
+                                    "W_CONT", "UNROLL"))
 def extend_compact_program(ref_pad, query_pad, ref_loc, query_loc, m,
                            sub_flat, xdrop, hspthresh, ref_len, query_len,
                            *, pad: int, W: int = 256, CONT: int = 4096,
-                           CBUF: int = 2048):
+                           CBUF: int = 2048, engine: str = "xla",
+                           W_CONT: int = 0, UNROLL: int = 4):
     """extend_program + on-device candidate compaction, minimizing D2H.
 
     Rows [0, m) of the HBUF-sized hit arrays are live. Returns
       n      — int32 candidate count (transfer is 4 bytes)
       packed — (CBUF, 9) int32: row_index, rs, qs, length, total,
-               counts[4] — only rows [0, min(n, CBUF)) are meaningful. When n > CBUF the caller must fall back to
+               counts[4] — only rows [0, min(n, CBUF)) are
+               meaningful. When n > CBUF the caller must fall back to
                extend_program for this range (rare; CBUF is sized above
                the per-program candidate tail).
 
@@ -164,7 +243,8 @@ def extend_compact_program(ref_pad, query_pad, ref_loc, query_loc, m,
     valid = jnp.arange(B, dtype=jnp.int32) < m
     fin = _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid,
                        sub_flat, xdrop, hspthresh, ref_len, query_len,
-                       pad=pad, W=W, CONT=CONT)
+                       pad=pad, W=W, CONT=CONT, engine=engine,
+                       W_CONT=W_CONT, UNROLL=UNROLL)
     cand = fin["candidate"]
     n = jnp.sum(cand.astype(jnp.int32))
     # stable compaction via argsort (TPU scatter is slow); row order is

@@ -190,11 +190,17 @@ def window_scan_pallas(r, q, inb, cum, maxv, maxp, done, counts, cdel,
 
 
 ALIGN = 1024  # Mosaic HBM slice alignment for 1-D i8 memrefs
-AWIN = 2048   # aligned bytes DMA'd per row (covers any 512 window)
+AWIN = 2048   # aligned bytes DMA'd per row for W <= 1024 windows
+
+
+def awin_for(W: int) -> int:
+    """Aligned superset bytes covering any W-byte window: the DMA starts
+    at the ALIGN boundary at or before the window start."""
+    return max(AWIN, W + ALIGN)
 
 
 def _gather_rows_kernel(starts_ref, seq_ref, out_ref, buf, sems, *,
-                        BR: int, W: int):
+                        BR: int, W: int, AW: int):
     """DMA BR rows from HBM at arbitrary offsets.
 
     Mosaic only slices HBM at ALIGN boundaries, so each row copies the
@@ -208,8 +214,8 @@ def _gather_rows_kernel(starts_ref, seq_ref, out_ref, buf, sems, *,
         start = starts_ref[i * BR + j]
         aligned = (start // ALIGN) * ALIGN
         return pltpu.make_async_copy(
-            seq_ref.at[pl.ds(aligned, AWIN)],
-            buf.at[pl.ds(j * AWIN, AWIN)], sems.at[j])
+            seq_ref.at[pl.ds(aligned, AW)],
+            buf.at[pl.ds(j * AW, AW)], sems.at[j])
 
     def start_one(j, _):
         dma(j).start()
@@ -231,8 +237,8 @@ def _gather_rows_kernel(starts_ref, seq_ref, out_ref, buf, sems, *,
         for c in range(8):
             start = starts_ref[i * BR + base + c]
             off = start - (start // ALIGN) * ALIGN
-            row = buf[pl.ds((base + c) * AWIN, AWIN)].reshape(1, AWIN)
-            rolled = pltpu.roll(row.astype(jnp.int32), AWIN - off, 1)
+            row = buf[pl.ds((base + c) * AW, AW)].reshape(1, AW)
+            rolled = pltpu.roll(row.astype(jnp.int32), AW - off, 1)
             rows.append(rolled[:, :W])
         out_ref[pl.ds(base, 8), :] = jnp.concatenate(rows, axis=0)
         return 0
@@ -245,19 +251,20 @@ def gather_rows_pallas(seq_pad, starts, *, W: int, BR: int = 256,
                        interpret: bool = False):
     """(B,) start offsets -> (B, W) int32 rows, DMA-pipelined.
 
-    Callers must guarantee starts in [0, len(seq_pad) - AWIN]."""
+    Callers must guarantee starts in [0, len(seq_pad) - awin_for(W)]."""
     B = starts.shape[0]
+    AW = awin_for(W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // BR,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((BR, W), lambda i, starts: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BR * AWIN,), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((BR * AW,), jnp.uint8),
                         pltpu.SemaphoreType.DMA((BR,))],
     )
     return pl.pallas_call(
-        functools.partial(_gather_rows_kernel, BR=BR, W=W),
+        functools.partial(_gather_rows_kernel, BR=BR, W=W, AW=AW),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
         interpret=interpret,

@@ -194,7 +194,7 @@ class DeviceAligner:
                  max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 15,
                  B: int = 1 << 14, W: int = 128, rm_mode: bool = False,
                  twophase: bool = True, window: int = 512, device=None,
-                 CBUF: int = 0):
+                 CBUF: int = 0, use_pallas: Optional[bool] = None):
         self.shape_pos = tuple(shape_pos)
         self.seed_size = seed_size
         self.kmer_size = len(shape_pos)
@@ -214,16 +214,33 @@ class DeviceAligner:
         self.B = B
         self.W = W
         self.twophase = twophase
-        # the two-phase extender gathers `window`-wide slices either side of
-        # each anchor; padding must cover the farthest reach
-        self.pad = max(W, window) if twophase else W
-        # window width of the single-program extension engine (native path)
+        # continuation window width of the fused extension program: rows
+        # surviving the first window are long extensions, so wider windows
+        # amortize loop and DMA-issue overheads (see extend_fused._run_dir)
+        self.W_CONT = int(os.environ.get("SEGALIGN_WCONT", "0")) or 2048
+        # the extender gathers slices up to max(window, W_CONT) wide either
+        # side of each anchor; padding must cover the farthest reach
+        self.pad = max(W, window, self.W_CONT) if twophase else W
+        # first-window width of the single-program extension engine
         self.ext_window = window
         self.rm_mode = rm_mode
         if device is None:
             platform = os.environ.get("SEGALIGN_DEVICES") or None
             device = jax.devices(platform)[0]
         self.device = device
+        # extension-engine selection: the fused Pallas step is the TPU
+        # default (the XLA step's (B, W) table lookup + scan lowers
+        # latency-bound, ~40x slower on-chip); SEGALIGN_PALLAS=0/1 or
+        # Config.use_pallas override.
+        env_pallas = os.environ.get("SEGALIGN_PALLAS", "")
+        on_tpu = self.device.platform == "tpu"
+        if env_pallas == "0" or use_pallas is False:
+            self.engine = "xla"
+        elif env_pallas == "1" or use_pallas is True:
+            # forced on: interpret mode off-TPU (tests)
+            self.engine = "pallas" if on_tpu else "pallas_interpret"
+        else:
+            self.engine = "pallas" if on_tpu else "xla"
         self.sub_flat = jax.device_put(
             jnp.asarray(np.asarray(sub_mat).reshape(-1), dtype=jnp.int32),
             self.device)
@@ -251,8 +268,11 @@ class DeviceAligner:
         host build can be replicated across devices (the reference uploads
         one host-built table to every GPU, seed_pos_table.cu:33-47)."""
         self.ref_len = len(ref_codes)
-        self.ref_pad = jax.device_put(pad_sequence(ref_codes, self.pad),
-                                      self.device)
+        # right_pad covers the Pallas row-gather's aligned-superset DMA
+        from ..ops.extend_pallas import awin_for
+        aw = awin_for(max(self.ext_window, self.W_CONT))
+        self.ref_pad = jax.device_put(
+            pad_sequence(ref_codes, self.pad, self.pad + aw), self.device)
         if tables is None:
             tables = build_seed_table(
                 ref_codes, self.step, self.shape_pos, self.seed_size,
@@ -271,8 +291,10 @@ class DeviceAligner:
         self.pos_table = jax.device_put(pos_table, self.device)
 
     def set_query(self, fw_codes: np.ndarray, rc_codes: np.ndarray):
+        from ..ops.extend_pallas import awin_for
+        aw = awin_for(max(self.ext_window, self.W_CONT))
         self.q_len = len(fw_codes)
-        rp = max(self.pad, self.chunk_size + self.seed_size + 1)
+        rp = max(self.pad, self.chunk_size + self.seed_size + 1) + aw
         self.q_fw = jax.device_put(pad_sequence(fw_codes, self.pad, rp),
                                    self.device)
         self.q_rc = jax.device_put(pad_sequence(rc_codes, self.pad, rp),
@@ -400,7 +422,8 @@ class DeviceAligner:
             n_dev, packed_dev = extend_compact_program(
                 self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
-                pad=self.pad, W=self.ext_window, CBUF=self.CBUF)
+                pad=self.pad, W=self.ext_window, CBUF=self.CBUF,
+                engine=self.engine, W_CONT=self.W_CONT)
             _dbg_sync("extend", n_dev)
             progs.append((n_dev, packed_dev, g0, m))
             tm.add("extend", time.time() - t0)
@@ -475,7 +498,7 @@ class DeviceAligner:
             jax.device_put(buf_q, self.device),
             jax.device_put(valid, self.device), self.sub_flat, self.xdrop,
             self.hspthresh, self.ref_len, self.q_len, pad=self.pad,
-            W=self.ext_window)
+            W=self.ext_window, engine=self.engine, W_CONT=self.W_CONT)
         cand, rs, qs, ln, tot, cnt = jax.device_get(
             (res["candidate"], res["rs"], res["qs"], res["length"],
              res["total"], res["counts"]))

@@ -92,6 +92,8 @@ def run_pairwise(cfg: Config, out_dir: str,
         out_dir=out_dir)
 
     extra = {}
+    if not cfg.use_pallas:
+        extra["use_pallas"] = False  # default (True) = auto: Pallas on TPU
     if cfg.max_hits:
         extra["max_hits"] = cfg.max_hits
     if cfg.device_hbuf:

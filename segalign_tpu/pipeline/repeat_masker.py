@@ -163,6 +163,8 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
         extra = {}
         if cfg.max_hits:
             extra["max_hits"] = cfg.max_hits
+        if not cfg.use_pallas:
+            extra["use_pallas"] = False  # default (True) = auto: Pallas on TPU
         aligner = MultiDeviceAligner(
             num_devices=cfg.num_devices,
             shape_pos=cfg.seed.shape_pos, seed_size=cfg.seed.size,

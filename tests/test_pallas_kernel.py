@@ -1,6 +1,7 @@
 """Pallas window-scan kernel vs the XLA step (interpret mode on CPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -52,3 +53,96 @@ def test_pallas_matches_loop(pallas_mode):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
     assert np.asarray(a["candidate"]).sum() > 5
+
+
+def test_fused_program_pallas_engine_matches_xla():
+    """extend_compact_program(engine='pallas') == engine='xla' bit-for-bit.
+
+    The pallas engine (DMA row gather + fused scan kernel) is the TPU
+    default; on CPU it runs in interpret mode, so keep shapes small."""
+    from segalign_tpu.ops.extend_fused import extend_compact_program
+    from segalign_tpu.ops.extend_pallas import AWIN
+
+    rng = np.random.default_rng(43)
+    n = 8_000
+    ref = rng.integers(0, 4, n).astype(np.uint8)
+    query = rng.integers(0, 4, n).astype(np.uint8)
+    core = rng.integers(0, 4, 1500).astype(np.uint8)
+    ref[1000:2500] = core
+    query[4000:5500] = core
+    ref[6000] = 7
+
+    pad = 256
+    sub_flat = jnp.asarray(
+        build_substitution_matrix(910).reshape(-1).astype(np.int32))
+    ref_pad = jnp.asarray(pad_sequence(ref, pad, pad + AWIN))
+    query_pad = jnp.asarray(pad_sequence(query, pad, pad + AWIN))
+
+    B = 256
+    rl = rng.integers(0, n, B).astype(np.int32)
+    ql = rng.integers(0, n, B).astype(np.int32)
+    d = B // 4
+    off = rng.integers(50, 1400, d).astype(np.int32)
+    rl[:d] = 1000 + off
+    ql[:d] = 4000 + off
+    rl[d:d + 6] = np.array([0, 1, 17, n - 1, n - 30, 5990])
+    ql[d:d + 6] = np.array([3, 0, 29, n - 3, n - 31, 6010])
+    m = B - 7  # a few padding rows
+
+    outs = {}
+    for engine in ("xla", "pallas_interpret"):
+        n_c, packed = extend_compact_program(
+            ref_pad, query_pad, jnp.asarray(rl), jnp.asarray(ql), m,
+            sub_flat, 910, 1800, n, n, pad=pad, W=pad, CBUF=64,
+            engine=engine)
+        outs[engine] = (int(n_c), np.asarray(packed))
+    assert outs["xla"][0] == outs["pallas_interpret"][0]
+    assert outs["xla"][0] > 0
+    k = min(outs["xla"][0], 64)
+    np.testing.assert_array_equal(outs["xla"][1][:k],
+                                  outs["pallas_interpret"][1][:k])
+
+
+def test_mixed_continuation_width_is_exact():
+    """W_CONT != W continuation yields identical results (window-width
+    independence of the scan; continuation phases use wider windows on
+    TPU to amortize loop overheads)."""
+    from segalign_tpu.ops.extend_fused import extend_program
+
+    rng = np.random.default_rng(44)
+    n = 16_000
+    ref = rng.integers(0, 4, n).astype(np.uint8)
+    query = rng.integers(0, 4, n).astype(np.uint8)
+    core = rng.integers(0, 4, 6000).astype(np.uint8)
+    ref[2000:8000] = core
+    query[7000:13000] = core
+
+    pad = 1024  # must cover W_CONT
+    sub_flat = jnp.asarray(
+        build_substitution_matrix(910).reshape(-1).astype(np.int32))
+    ref_pad = jnp.asarray(pad_sequence(ref, pad))
+    query_pad = jnp.asarray(pad_sequence(query, pad))
+
+    B = 512
+    rl = rng.integers(0, n, B).astype(np.int32)
+    ql = rng.integers(0, n, B).astype(np.int32)
+    d = B // 2
+    off = rng.integers(50, 5900, d).astype(np.int32)
+    rl[:d] = 2000 + off
+    ql[:d] = 7000 + off
+    valid = np.ones(B, bool)
+
+    outs = []
+    # CONT=128 < B forces the phase-2/3 compaction path
+    for (w, wc, unroll) in ((128, 0, 1), (128, 512, 4), (128, 1024, 2)):
+        res = extend_program(
+            ref_pad, query_pad, jnp.asarray(rl), jnp.asarray(ql),
+            jnp.asarray(valid), sub_flat, 910, 1800, n, n, pad=pad, W=w,
+            CONT=128, W_CONT=wc, UNROLL=unroll)
+        outs.append(jax.device_get(res))
+    base = outs[0]
+    assert np.asarray(base["candidate"]).sum() > 0
+    for other in outs[1:]:
+        for k in ("candidate", "rs", "qs", "length", "total", "counts"):
+            np.testing.assert_array_equal(np.asarray(base[k]),
+                                          np.asarray(other[k]), err_msg=k)

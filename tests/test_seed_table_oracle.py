@@ -105,3 +105,31 @@ def test_plan_hit_batches_split():
     total = sum(b[3] - b[2] for b in batches)
     assert total == 120
     assert batches[-1][1] == 3
+
+
+def test_native_table_build_matches_numpy():
+    """Native threaded build (seeder.cpp) vs the numpy reference, including
+    N-rejection, step > 1, and edge windows."""
+    import numpy as np
+    from segalign_tpu.index.seed_table import build_seed_table
+    from segalign_tpu.native import build_seed_table_fast
+    from segalign_tpu.config import make_seed_config
+
+    if build_seed_table_fast([0], 1, [0, 1, 2, 3], 4, 4) is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(5)
+    for step in (1, 2, 3):
+        for shape in ("12of19",):
+            sc = make_seed_config(shape)
+            ref = rng.integers(0, 4, 50_000).astype(np.uint8)
+            ref[100:140] = 4   # soft-masked
+            ref[9000:9007] = 5  # N
+            it_np, pt_np = build_seed_table(
+                ref, step, sc.shape_pos, sc.size, sc.kmer_size,
+                use_native=False)
+            it_nat, pt_nat = build_seed_table_fast(
+                ref, step, sc.shape_pos, sc.size, sc.kmer_size)
+            np.testing.assert_array_equal(it_np, it_nat, err_msg=f"{step} {shape}")
+            np.testing.assert_array_equal(pt_np, pt_nat, err_msg=f"{step} {shape}")
