@@ -1,0 +1,314 @@
+"""k-mer-range sharded seed table + all_to_all seed routing (v2 scale-out).
+
+The reference replicates the full seed position table on every GPU
+(/root/reference/common/seed_pos_table.cu:33-47, seed_filter_interface.cu:
+86-100), which caps the reference-block size by one device's memory. Here
+the table is sharded by k-mer range across a device mesh:
+
+  shard s owns k-mers whose top log2(S) bits equal s
+  (owner = kmer >> (2*kmer_size - log2 S); buckets are contiguous, so each
+  shard holds a contiguous slice of index_table and pos_table)
+
+Per chunk, under one `shard_map` program:
+  1. seeding      — each shard extracts spaced-seed k-mers for its 1/S
+                    position slice of the chunk (replicated query block)
+  2. routing      — seeds go to their owner shard with ONE all_to_all over
+                    ICI (a seed record is 8 bytes: kmer + query position)
+  3. expansion    — the owner looks up its local index slice and expands
+                    hits from its local pos_table slice (absolute ref
+                    positions, so nothing needs re-basing)
+  4. extension    — the unchanged x-drop window engine runs shard-locally
+                    against the replicated sequence block
+  5. gather       — compacted candidates return with an all_gather
+
+Fixed-capacity buffers make every step static-shaped (the same discipline
+as the reference's MAX_HITS batching): CAP seeds per (src, dst) pair, HCAP
+hits and CCAP candidates per shard. Overflow is *detected* (psum'd flag
+returned to the host) rather than silently truncated; callers re-run the
+chunk with larger capacities or the replicated path.
+
+This is the scale-out mode for reference blocks whose table exceeds one
+chip's HBM; the single-host production path keeps host-native seeding
+(pipeline/device.py). Exact-parity test: tests/test_sharded_table.py;
+multi-chip compile/exec check: __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import TRANSITION_MASK
+
+
+def shard_seed_table(index_table: np.ndarray, pos_table: np.ndarray,
+                     n_shards: int):
+    """Slice a host-built table by k-mer range.
+
+    Returns (index_shards (S, R) int32, pos_shards (S, Pmax) int32):
+      index_shards[s] — inclusive cumulative bucket counts LOCAL to the
+                        shard (base subtracted)
+      pos_shards[s]   — the shard's positions (absolute), zero-padded to
+                        the widest shard
+    """
+    K = len(index_table)
+    assert K % n_shards == 0
+    R = K // n_shards
+    idx = np.asarray(index_table, np.int64)
+    bases = np.concatenate([[0], idx[R - 1::R]])  # shard start offsets
+    index_shards = (idx.reshape(n_shards, R)
+                    - bases[:-1, None]).astype(np.int32)
+    pmax = int(np.max(bases[1:] - bases[:-1])) if len(pos_table) else 1
+    pmax = max(pmax, 1)
+    pos_shards = np.zeros((n_shards, pmax), np.int32)
+    for s in range(n_shards):
+        lo, hi = int(bases[s]), int(bases[s + 1])
+        pos_shards[s, :hi - lo] = pos_table[lo:hi]
+    return index_shards, pos_shards
+
+
+def _extract_seeds_local(query_pad, chunk_start, chunk_len, *, CHUNK_LOC,
+                         seed_size, shape_pos, transition, pad):
+    """Seed extraction for one shard's position slice (no table access;
+    device analog of ops/seeding.chunk_seeds minus the hit counting)."""
+    k = len(shape_pos)
+    nvar = 1 + k if transition else 1
+    cols = []
+    for i in range(seed_size):
+        cols.append(jax.lax.dynamic_slice(
+            query_pad, (pad + chunk_start + i,),
+            (CHUNK_LOC,)).astype(jnp.int32))
+    valid_pos = jnp.ones((CHUNK_LOC,), dtype=bool)
+    for c in cols:
+        valid_pos &= c < 4
+    j = jnp.arange(CHUNK_LOC, dtype=jnp.int32)
+    valid_pos &= j < chunk_len
+    kmer = jnp.zeros((CHUNK_LOC,), dtype=jnp.int32)
+    for i, sp in enumerate(shape_pos):
+        kmer = kmer | ((cols[sp] & 3) << (2 * (k - 1 - i)))
+    if transition:
+        xors = jnp.array(
+            [0] + [TRANSITION_MASK << (2 * t) for t in range(k)],
+            dtype=jnp.int32)
+        kmers = (kmer[:, None] ^ xors[None, :]).reshape(-1)
+    else:
+        kmers = kmer
+    qpos = jnp.repeat(chunk_start + j, nvar,
+                      total_repeat_length=CHUNK_LOC * nvar)
+    valid = jnp.repeat(valid_pos, nvar,
+                       total_repeat_length=CHUNK_LOC * nvar)
+    return kmers, qpos.astype(jnp.int32), valid
+
+
+def make_sharded_extender(mesh, *, n_shards, kmer_size, seed_size,
+                          shape_pos, transition, chunk_cap, pad, W,
+                          xdrop, hspthresh, CAP, HCAP, CCAP,
+                          NB_CAP=8, engine="xla", axis="shard"):
+    """Build the jitted per-chunk sharded program.
+
+    Returns fn(ref_pad, query_pad, index_shards, pos_shards, sub_flat,
+               chunk_start, chunk_len, ref_len, query_len, max_hits)
+        -> (num_hits_total, cand_counts (S,), packed (S*CCAP, 10),
+            overflow int32)
+    packed rows: (row index within shard, rs, qs, length, total,
+    counts[4], batch_id); only the first cand_counts[s] rows of each shard
+    slice are meaningful.
+
+    batch_id reproduces the reference's iteration-batch boundaries
+    (SeedAndFilter's lower_bound chain over the seed-slot hit cumsum,
+    /root/reference/src/seed_filter.cu:718-745): dedup runs PER BATCH, so
+    an HSP spanning a boundary is legitimately emitted twice. The chain is
+    computed in-program from the globally gathered per-slot hit counts
+    (one extra all_to_all returns each seed's count to its origin shard);
+    NB_CAP caps the boundary count (overflow flag raised beyond it).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..ops.extend_fused import _extend_core
+    from ..ops.scan_utils import blocked_cumsum
+
+    S = n_shards
+    assert chunk_cap % S == 0
+    CHUNK_LOC = chunk_cap // S
+    shift = 2 * kmer_size - int(np.log2(S))
+    nvar = 1 + kmer_size if transition else 1
+    NLOC = CHUNK_LOC * nvar
+    TOT_SLOTS = S * NLOC
+
+    def body(ref_pad, query_pad, index_local, pos_local, sub_flat,
+             chunk_start, chunk_len, ref_len, query_len, max_hits):
+        index_local = index_local[0]
+        pos_local = pos_local[0]
+        sid = jax.lax.axis_index(axis)
+
+        # 1. seeding: this shard's slice of the chunk positions (slots
+        # stay in the reference's global position-major order because
+        # shard s covers the contiguous position range [s*CHUNK_LOC, ...))
+        my_start = chunk_start + sid * CHUNK_LOC
+        my_len = jnp.clip(chunk_len - sid * CHUNK_LOC, 0, CHUNK_LOC)
+        kmers, qpos, valid = _extract_seeds_local(
+            query_pad, my_start, my_len, CHUNK_LOC=CHUNK_LOC,
+            seed_size=seed_size, shape_pos=shape_pos,
+            transition=transition, pad=pad)
+        gslot = sid * NLOC + jnp.arange(NLOC, dtype=jnp.int32)
+
+        # 2. routing: bucket seeds by owner shard, one all_to_all
+        owner = jnp.where(valid, kmers >> shift, S)  # invalid -> no owner
+        order = jnp.argsort(owner, stable=True)      # owners ascending
+        inv_order = jnp.argsort(order, stable=True)
+        k_s = jnp.take(kmers, order)
+        q_s = jnp.take(qpos, order)
+        s_s = jnp.take(gslot, order)
+        o_s = jnp.take(owner, order)
+        counts = jnp.bincount(o_s, length=S + 1)[:S]
+        offs = jnp.concatenate([jnp.zeros(1, counts.dtype),
+                                jnp.cumsum(counts)[:-1]])
+        slot = jnp.arange(NLOC, dtype=jnp.int32) - jnp.take(
+            offs, jnp.minimum(o_s, S - 1)).astype(jnp.int32)
+        dest = jnp.where((o_s < S) & (slot < CAP),
+                         o_s * CAP + slot, S * CAP)
+        send_k = jnp.full((S * CAP + 1,), -1, jnp.int32)
+        send_q = jnp.zeros((S * CAP + 1,), jnp.int32)
+        send_s = jnp.zeros((S * CAP + 1,), jnp.int32)
+        send_k = send_k.at[dest].set(k_s, mode="drop")
+        send_q = send_q.at[dest].set(q_s, mode="drop")
+        send_s = send_s.at[dest].set(s_s, mode="drop")
+        overflow = jnp.max(counts) > CAP
+        a2a = lambda x: jax.lax.all_to_all(
+            x[:S * CAP].reshape(S, CAP), axis, split_axis=0,
+            concat_axis=0, tiled=False).reshape(S * CAP)
+        rk = a2a(send_k)
+        rq = a2a(send_q)
+        rslot = a2a(send_s)
+
+        # 3. expansion against the local table slice
+        rvalid = rk >= 0
+        # local bucket = low bits (shard-local k-mer range is contiguous
+        # and R = 4^k / S is a power of two)
+        bucket = jnp.where(rvalid, rk & (index_local.shape[0] - 1), 0)
+        ends = jnp.take(index_local, bucket)
+        starts = jnp.where(bucket > 0,
+                           jnp.take(index_local, bucket - 1), 0)
+        hit_counts = jnp.where(rvalid, ends - starts, 0).astype(jnp.int32)
+        cum = jnp.cumsum(hit_counts)
+        num_hits = cum[-1]
+        overflow = overflow | (num_hits > HCAP)
+        # hit materialization (ops/hits.expand_hits semantics, plus the
+        # owning seed's global slot for batch-boundary assignment)
+        g = jnp.arange(HCAP, dtype=jnp.int32)
+        hvalid = g < num_hits
+        gs = jnp.where(hvalid, g, 0)
+        sidx = jnp.searchsorted(cum, gs, side="right").astype(jnp.int32)
+        sidx = jnp.minimum(sidx, cum.shape[0] - 1)
+        prev = jnp.where(sidx > 0, jnp.take(cum, sidx - 1), 0)
+        bpos = jnp.take(starts, sidx) + (gs - prev)
+        bpos = jnp.clip(bpos, 0, pos_local.shape[0] - 1)
+        ref_loc = jnp.take(pos_local, bpos) + seed_size
+        query_loc = jnp.take(rq, sidx) + seed_size
+        hit_slot = jnp.take(rslot, sidx)
+
+        # 3b. reference iteration-batch boundaries: return each routed
+        # seed's hit count to its origin, gather the global per-slot
+        # counts, run the lower_bound chain (seed_filter.cu:718-745)
+        back = jax.lax.all_to_all(
+            hit_counts.reshape(S, CAP), axis, split_axis=0,
+            concat_axis=0, tiled=False).reshape(S * CAP)
+        back_p = jnp.concatenate([back, jnp.zeros(1, jnp.int32)])
+        cnt_sorted = jnp.take(back_p, jnp.minimum(dest, S * CAP))
+        cnt_slot = jnp.take(cnt_sorted, inv_order)
+        all_cnt = jax.lax.all_gather(cnt_slot, axis, axis=0, tiled=True)
+        gcum = blocked_cumsum(all_cnt)
+        gnh = gcum[-1]
+        # int32 arithmetic is safe: per-chunk hits are bounded by S*HCAP
+        # (overflow-flagged above) and the clamped max_hits never exceeds
+        # gnh, so val + mh <= 2*gnh << 2^31
+        mh = jnp.minimum(jnp.asarray(max_hits, jnp.int32), gnh)
+        mh = jnp.maximum(mh, 1)
+        nb_real = jnp.where(gnh < mh, 1, gnh // mh + 1)
+        overflow = overflow | (nb_real > NB_CAP)
+
+        def chain(i, c):
+            poss, limit = c
+            pos = (jnp.searchsorted(gcum, limit,
+                                    side="left").astype(jnp.int32) - 1)
+            val = jnp.where(pos >= 0,
+                            jnp.take(gcum, jnp.maximum(pos, 0)), 0)
+            poss = poss.at[i].set(
+                jnp.where(i < nb_real, pos, TOT_SLOTS))
+            return poss, jnp.minimum(val + mh, gnh)
+
+        poss0 = jnp.full((NB_CAP,), TOT_SLOTS, jnp.int32)
+        poss, _ = jax.lax.fori_loop(0, NB_CAP, chain, (poss0, mh))
+        hit_batch = jnp.sum(
+            hit_slot[:, None] > poss[None, :], axis=1).astype(jnp.int32)
+
+        # 4. shard-local extension (unchanged window engine)
+        fin = _extend_core(ref_pad, query_pad, ref_loc, query_loc, hvalid,
+                           sub_flat, xdrop, hspthresh, ref_len, query_len,
+                           pad=pad, W=W, CONT=4096, engine=engine)
+        cand = fin["candidate"]
+        n_c = jnp.sum(cand.astype(jnp.int32))
+        overflow = overflow | (n_c > CCAP)
+        perm = jnp.argsort(jnp.logical_not(cand), stable=True)
+        sel = perm[:CCAP].astype(jnp.int32)
+        take = lambda a: jnp.take(a, sel, axis=0)
+        packed = jnp.concatenate([
+            sel[:, None], take(fin["rs"])[:, None],
+            take(fin["qs"])[:, None], take(fin["length"])[:, None],
+            take(fin["total"])[:, None], take(fin["counts"]),
+            take(hit_batch)[:, None]], axis=1)
+
+        # 5. gather candidates + stats
+        total_hits = jax.lax.psum(num_hits, axis)
+        all_counts = jax.lax.all_gather(n_c, axis)
+        all_packed = jax.lax.all_gather(packed, axis, axis=0, tiled=True)
+        any_overflow = jax.lax.psum(overflow.astype(jnp.int32), axis)
+        return total_hits, all_counts, all_packed, any_overflow
+
+    rep = P()
+    shd = P(axis)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, shd, shd, rep, rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep),
+        check_rep=False)
+    return jax.jit(fn)
+
+
+def finalize_sharded(cand_counts, packed, hspthresh, noentropy):
+    """Host finalize of a gathered candidate set: entropy + accept, then
+    pairwise dedup PER iteration batch (packed column 9 carries the
+    reference batch id). Returns (n, 4) int64 HSPs in batch order.
+
+    Within a batch, candidate input order is irrelevant: dedup keys on
+    (diag, rs, len, score), and rows with identical keys are identical
+    HSPs, so any order of the same candidate SET yields the same output.
+    """
+    from ..ops.finalize import finalize_candidates
+    from ..ops.dedup import dedup_pairwise
+    S = len(cand_counts)
+    CCAP = packed.shape[0] // S
+    rows = []
+    for s in range(S):
+        n = int(cand_counts[s])
+        if n:
+            rows.append(np.asarray(packed[s * CCAP:s * CCAP + n]))
+    if not rows:
+        return np.zeros((0, 4), np.int64)
+    allrows = np.concatenate(rows).astype(np.int64)
+    out = []
+    for b in np.unique(allrows[:, 9]):
+        r = allrows[allrows[:, 9] == b]
+        accepted, scores = finalize_candidates(
+            r[:, 1], r[:, 2], r[:, 3], r[:, 4], r[:, 5:9], hspthresh,
+            noentropy)
+        if not accepted.any():
+            continue
+        rs, qs, ln, sc = dedup_pairwise(
+            r[accepted, 1], r[accepted, 2], r[accepted, 3],
+            scores[accepted])
+        out.append(np.stack([rs, qs, ln, sc], axis=1))
+    return (np.concatenate(out) if out else np.zeros((0, 4), np.int64))
