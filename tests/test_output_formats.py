@@ -65,3 +65,92 @@ def test_sam_minus_strand(tmp_path):
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     rc = "".join(comp[c] for c in reversed(q))
     assert rec[9] == rc[3:9]
+
+
+def test_new_formats_smoke(tmp_path):
+    """cigar / differences / rdotplot / text / lav writers produce
+    well-formed output for a gapped alignment."""
+    t = "ACGTACGTACGTACGTACGT"
+    q = "TT" + t[0:4] + "G" + t[4:8] + "CCCCCCCCC"  # one insertion at q[6]
+    write_fasta(str(tmp_path / "t.fa"), [("t1", t)])
+    write_fasta(str(tmp_path / "q.fa"), [("q1", q)])
+    target = GenomeText(str(tmp_path / "t.fa"))
+    query = GenomeText(str(tmp_path / "q.fa"))
+    al = Alignment(rname="t1", qname="q1", r_start=0, r_end=8, q_start=2,
+                   q_end=11, strand="+", score=700, ops=b"MMMMIMMMM")
+
+    p = str(tmp_path / "o.cigar")
+    write_alignments(p, "cigar", [al], target, query)
+    line = open(p).read().strip()
+    assert line.startswith("cigar: q1 2 11 + t1 0 8 + 700 ")
+    assert line.endswith("M 4 I 1 M 4")
+
+    p = str(tmp_path / "o.diff")
+    write_alignments(p, "differences", [al], target, query)
+    rows = [l.split("\t") for l in open(p).read().splitlines()]
+    # q has TT prefix then matches t with an extra base at q[6]
+    assert any(r[8] == "-" for r in rows)  # the insertion row
+    for r in rows:
+        assert r[0] == "t1" and r[4] == "q1"
+
+    p = str(tmp_path / "o.rdp")
+    write_alignments(p, "rdotplot", [al], target, query)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "t1\tq1"
+    assert lines.count("NA\tNA") == 2  # two ungapped blocks
+
+    p = str(tmp_path / "o.txt")
+    write_alignments(p, "text", [al], target, query)
+    body = open(p).read()
+    assert "score = 700" in body and "t1" in body
+
+    p = str(tmp_path / "o.lav")
+    write_alignments(p, "lav", [al], target, query)
+    body = open(p).read()
+    assert body.startswith("#:lav\n")
+    assert body.rstrip().endswith("#:eof")
+    assert "s 700" in body and "b 1 3" in body and "e 8 11" in body
+    assert body.count("  l ") == 2
+
+
+def test_interference_index_matches_bruteforce():
+    from segalign_tpu.output.native_gapped import _InterferenceIndex
+    rng = np.random.default_rng(9)
+    idx = _InterferenceIndex()
+    kept = []
+    for i in range(200):
+        rs = int(rng.integers(0, 1 << 20))
+        qs = int(rng.integers(0, 1 << 20))
+        ln = int(rng.integers(1, 60_000))
+        al = Alignment("r" + str(i % 3), "q" + str(i % 2), rs, rs + ln,
+                       qs, qs + ln, "+", 100, b"")
+        idx.add(al)
+        kept.append(al)
+    for _ in range(500):
+        rn = "r" + str(int(rng.integers(0, 3)))
+        qn = "q" + str(int(rng.integers(0, 2)))
+        mr = int(rng.integers(0, 1 << 20))
+        mq = int(rng.integers(0, 1 << 20))
+        want = any(a.rname == rn and a.qname == qn and
+                   a.r_start <= mr < a.r_end and a.q_start <= mq < a.q_end
+                   for a in kept)
+        assert idx.covered(rn, qn, mr, mq) == want
+
+
+def test_trivial_self_alignment(tmp_path):
+    from segalign_tpu.output.native_gapped import _trivial_alignments
+    from segalign_tpu.output.scoring import default_gapped_matrix
+    t = "ACGTACGTACGTACGTACGT"
+    write_fasta(str(tmp_path / "t.fa"), [("c1", t), ("c2", t[::-1])])
+    write_fasta(str(tmp_path / "q.fa"), [("c1", t), ("other", "AAAATTTT")])
+    target = GenomeText(str(tmp_path / "t.fa"))
+    query = GenomeText(str(tmp_path / "q.fa"))
+    sub = default_gapped_matrix("")
+    als = _trivial_alignments(target, query, sub)
+    assert len(als) == 1
+    al = als[0]
+    assert al.rname == "c1" and al.qname == "c1"
+    assert al.r_start == 0 and al.r_end == len(t)
+    assert al.ops == b"M" * len(t)
+    assert al.score == sum({"A": 91, "C": 100, "G": 100, "T": 91}[c]
+                           for c in t)
