@@ -24,6 +24,7 @@ from ..io.fasta import read_fasta
 from ..io.blocks import build_arena, plan_intervals, chunk_interval
 from ..output.segments import PrinterContext, write_interval_segments
 from ..parallel.multi import MultiDeviceAligner, ChunkWork
+from ..logging_util import log_event
 
 
 @dataclass
@@ -116,8 +117,12 @@ def run_pairwise(cfg: Config, out_dir: str,
 
     t_start = time.time()
     log("\nStart alignment ...")
+    log_event("run_start", mode="pairwise", ref=cfg.reference_filename,
+              query=cfg.query_filename, intervals=len(my_intervals),
+              host=host_id, num_hosts=num_hosts)
     for rb in target.blocks:
         log(f"\nSending reference block {rb.index} ...")
+        log_event("ref_block", block=rb.index, start=rb.start, len=rb.len)
         t0 = time.time()
         ref_codes = target.codes[rb.start:rb.start + rb.len]
         aligner.set_ref(ref_codes)
@@ -125,6 +130,7 @@ def run_pairwise(cfg: Config, out_dir: str,
 
         for qb in query.blocks:
             log(f"\nSending query block {qb.index} ...")
+            log_event("query_block", block=qb.index, len=qb.len)
             fw = query.codes[qb.start:qb.start + qb.len]
             rc = query.rc_codes[qb.start:qb.start + qb.len]
             aligner.set_query(fw, rc)
@@ -174,8 +180,15 @@ def run_pairwise(cfg: Config, out_dir: str,
                     emit(cmd)
                 manifest.mark_done(key)
                 stats.intervals_done += 1
+                log_event("interval_done", ref_block=rb.index,
+                          query_block=qb.index, interval=iv.num_invoked,
+                          hsps=len(fw_hsps) + len(rc_hsps),
+                          seconds=round(time.time() - t1, 3))
 
     manifest.close()
+    log_event("stats", seeds=stats.num_seeds, seed_hits=stats.num_seed_hits,
+              hsps=stats.num_hsps, seconds=round(time.time() - t_start, 3))
+    log_event("run_end", mode="pairwise")
     if cfg.debug:
         log(f"Time elapsed (complete pipeline): "
             f"{time.time() - t_start:.1f} sec")

@@ -29,6 +29,7 @@ from ..io.encode import encode, revcomp_codes
 from ..io.blocks import Chrom
 from ..constants import E_NT
 from ..parallel.multi import MultiDeviceAligner, ChunkWork
+from ..logging_util import log_event
 from .pairwise import PipelineStats
 
 
@@ -131,7 +132,8 @@ def plan_rm_blocks(seq_len: int, cfg: RMConfig) -> List[RMBlock]:
 def coverage_intervals(cov_diff: np.ndarray, block_len: int, M: int):
     """Run-length extraction of positions with coverage >= M
     (seeder.cpp:165-188). cov_diff is the +1/-1 difference array; coverage
-    wraps as uint8."""
+    wraps as uint8. Dense formulation — kept as the test oracle for
+    coverage_runs_sparse (the production path)."""
     cov = (np.cumsum(cov_diff[:block_len], dtype=np.int64) % 256)
     mask = cov >= M
     if not mask.any():
@@ -144,6 +146,59 @@ def coverage_intervals(cov_diff: np.ndarray, block_len: int, M: int):
         starts.insert(0, 0)
     # a run still open at block end is LOST (reference quirk)
     return list(zip(starts[:len(ends)], ends))
+
+
+def coverage_runs_sparse(hsp_starts: np.ndarray, hsp_ends: np.ndarray,
+                         block_len: int, M: int):
+    """Sparse, exact equivalent of the uint8 coverage accumulation + run
+    extraction: O(#HSPs log #HSPs) time and O(#HSPs) memory, instead of a
+    block-length (up to 1 GB -> 8 GB int64) dense array per interval.
+
+    Coverage between consecutive event positions is constant, so the
+    wrapped (mod 256) comparison against M and the run merging operate on
+    the event list directly. Preserves every reference quirk: uint8 wrap
+    (256 overlapping HSPs -> coverage 0), and a covered run still open at
+    block end is never emitted (repeat_masker_src/seeder.cpp:165-188)."""
+    if len(hsp_starts) == 0:
+        return []
+    pos = np.concatenate([hsp_starts, hsp_ends]).astype(np.int64)
+    delta = np.concatenate([
+        np.ones(len(hsp_starts), np.int64),
+        -np.ones(len(hsp_ends), np.int64)])
+    order = np.argsort(pos, kind="stable")
+    pos = pos[order]
+    delta = delta[order]
+    upos, idx = np.unique(pos, return_index=True)
+    sums = np.add.reduceat(delta, idx)
+    cov = np.cumsum(sums) % 256  # wrapped coverage on [upos[i], upos[i+1])
+    covered = cov >= M
+    if not covered.any():
+        return []
+    seg_start = upos
+    seg_end = np.concatenate([upos[1:], [block_len]])
+    # merge adjacent covered segments
+    runs = []
+    cur = None
+    for s, e, c in zip(seg_start, seg_end, covered):
+        s = int(s)
+        e = int(min(e, block_len))
+        if s >= block_len or e <= s:
+            continue
+        if c:
+            if cur is None:
+                cur = [s, e]
+            elif s == cur[1]:
+                cur[1] = e
+            else:
+                runs.append(tuple(cur))
+                cur = [s, e]
+        elif cur is not None:
+            runs.append(tuple(cur))
+            cur = None
+    # a run still open at block end is LOST (reference quirk)
+    if cur is not None and cur[1] < block_len:
+        runs.append(tuple(cur))
+    return runs
 
 
 def run_repeat_masker(cfg: RMConfig, out_dir: str,
@@ -181,8 +236,12 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
 
     t_start = time.time()
     log("\nStart alignment ...")
+    log_event("run_start", mode="repeat_masker", seq=cfg.seq_filename,
+              blocks=len(blocks))
     for b in blocks:
         log(f"\nSending block {b.index} ...")
+        log_event("rm_block", block=b.index, start=b.start, len=b.len,
+                  intervals=len(b.intervals))
         block = codes[b.start:b.start + b.len]
         rc = revcomp_codes(block)
         t0 = time.time()
@@ -200,7 +259,7 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
                     f"{iv.num_invoked}/{iv.num_intervals} "
                     f"({b.start + iv.start}:{b.start + iv.end})")
             t1 = time.time()
-            cov_diff = np.zeros(b.len + 1, dtype=np.int64)
+            ev_starts, ev_ends = [], []
             end_pos_rc = b.len - 1 - iv.start
             window = (iv.ref_start, iv.ref_end)
             work = []
@@ -219,13 +278,15 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
                 stats.num_seed_hits += r.num_hits
                 stats.num_hsps += len(r.hsps)
                 if len(r.hsps):
-                    qs = r.hsps[:, 1]
-                    ln = r.hsps[:, 2]
-                    np.add.at(cov_diff, qs, 1)
-                    np.add.at(cov_diff, qs + ln, -1)
+                    ev_starts.append(r.hsps[:, 1])
+                    ev_ends.append(r.hsps[:, 1] + r.hsps[:, 2])
             stats.extension_ms += (time.time() - t1) * 1000
 
-            runs = coverage_intervals(cov_diff, b.len, cfg.M)
+            runs = coverage_runs_sparse(
+                np.concatenate(ev_starts) if ev_starts
+                else np.zeros(0, np.int64),
+                np.concatenate(ev_ends) if ev_ends
+                else np.zeros(0, np.int64), b.len, cfg.M)
             if runs:
                 path = os.path.join(
                     out_dir, f"tmp{iv.num_invoked}.block{b.index}.intervals")
@@ -242,8 +303,14 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
                         f.write("# segalign_repeat_masker end-of-file\n")
             manifest.mark_done(key)
             stats.intervals_done += 1
+            log_event("interval_done", block=b.index,
+                      interval=iv.num_invoked, runs=len(runs),
+                      seconds=round(time.time() - t1, 3))
 
     manifest.close()
+    log_event("stats", seeds=stats.num_seeds, seed_hits=stats.num_seed_hits,
+              hsps=stats.num_hsps, seconds=round(time.time() - t_start, 3))
+    log_event("run_end", mode="repeat_masker")
     if cfg.debug:
         log(f"Time elapsed (complete pipeline): "
             f"{time.time() - t_start:.1f} sec")

@@ -148,3 +148,35 @@ def test_rm_driver(rm_genome, tmp_path, monkeypatch):
     for l in body:
         chrom, s, e = l.split("\t")
         assert chrom in ("chr1", "chr2") and int(e) > int(s)
+
+
+def test_sparse_coverage_matches_dense():
+    """coverage_runs_sparse == coverage_intervals (the dense oracle) on
+    random HSP sets including uint8 wrap and end-of-block runs."""
+    import numpy as np
+    from segalign_tpu.pipeline.repeat_masker import (coverage_intervals,
+                                                     coverage_runs_sparse)
+    rng = np.random.default_rng(21)
+    for trial in range(30):
+        block_len = int(rng.integers(50, 3000))
+        n = int(rng.integers(0, 400))
+        qs = rng.integers(0, block_len, n).astype(np.int64)
+        ln = rng.integers(1, 50, n).astype(np.int64)
+        ends = np.minimum(qs + ln, block_len)
+        M = int(rng.integers(1, 4))
+        if trial % 5 == 0 and block_len > 20:
+            # force uint8 wrap: 300 HSPs covering the same span
+            extra = np.full(300, 5, np.int64)
+            qs = np.concatenate([qs, extra])
+            ends = np.concatenate([ends, extra + 10])
+        if trial % 7 == 0:
+            # a run touching block end (must be dropped)
+            qs = np.concatenate([qs, [block_len - 8]])
+            ends = np.concatenate([ends, [block_len]])
+        diff = np.zeros(block_len + 1, np.int64)
+        np.add.at(diff, qs, 1)
+        np.add.at(diff, ends, -1)
+        want = coverage_intervals(diff, block_len, M)
+        got = coverage_runs_sparse(qs, ends, block_len, M)
+        assert [tuple(map(int, r)) for r in got] == \
+            [tuple(map(int, r)) for r in want], (trial, block_len, M)
