@@ -175,14 +175,27 @@ class PendingChunk:
     rev: bool
     num_seeds: int
     num_hits: int
-    # per program: (n_dev, packed_dev, row_offset, m)
-    progs: list
+    # per program: (row_offset g0, live rows m)
+    offsets: list
+    # stacked device results of all programs: ns (P,) int32 candidate
+    # counts + packed (P, CBUF, 9) compacted candidates — exactly TWO
+    # arrays cross the host boundary per chunk-strand (each device_get
+    # array costs a full link round trip; round 1 fetched 2 arrays per
+    # HBUF program, ~48 RTTs per chunk)
+    ns: Optional[object]
+    packed: Optional[object]
     # logical-batch boundaries (reference max_hits iteration batching)
     # as end offsets into the filtered row stream
     seg_ends: np.ndarray
     # filtered hit stream kept on host for the rare CBUF-overflow re-run
     ref_loc: Optional[np.ndarray] = None
     query_loc: Optional[np.ndarray] = None
+
+
+@jax.jit
+def _pack_progs(ns, pks):
+    """Stack P per-program (n, packed) results into one fetchable pair."""
+    return jnp.stack(ns), jnp.stack(pks)
 
 
 class DeviceAligner:
@@ -379,7 +392,7 @@ class DeviceAligner:
                 pos_table, self.shape_pos, self.seed_size, self.max_hits))
         tm.add("seeds", time.time() - t0)
         empty = PendingChunk(chunk_start, chunk_end, rev, num_seeds,
-                             num_hits, [], np.zeros(0, np.int64))
+                             num_hits, [], None, None, np.zeros(0, np.int64))
         if num_seeds == 0 or num_hits == 0:
             return empty
 
@@ -402,7 +415,9 @@ class DeviceAligner:
 
         q_pad = self.q_rc if rev else self.q_fw
         HBUF = self.HBUF
-        progs = []
+        offsets = []
+        ns_list = []
+        pk_list = []
         for g0 in range(0, n, HBUF):
             t0 = time.time()
             g1 = min(g0 + HBUF, n)
@@ -425,36 +440,42 @@ class DeviceAligner:
                 pad=self.pad, W=self.ext_window, CBUF=self.CBUF,
                 engine=self.engine, W_CONT=self.W_CONT)
             _dbg_sync("extend", n_dev)
-            progs.append((n_dev, packed_dev, g0, m))
+            offsets.append((g0, m))
+            ns_list.append(n_dev)
+            pk_list.append(packed_dev)
             tm.add("extend", time.time() - t0)
+        t0 = time.time()
+        ns, packed = _pack_progs(tuple(ns_list), tuple(pk_list))
+        tm.add("pack", time.time() - t0)
         tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
                 f"hits={num_hits}")
         return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
-                            num_hits, progs, seg_ends, ref_loc, query_loc)
+                            num_hits, offsets, ns, packed, seg_ends,
+                            ref_loc, query_loc)
 
     def finish_chunk(self, p: PendingChunk) -> ChunkResult:
         """Collect a dispatched chunk: D2H of compacted candidates, logical
         -batch split, host entropy finalize + dedup."""
-        if not p.progs:
+        if not p.offsets:
             return ChunkResult(np.zeros((0, 4), np.int64), p.num_hits,
                                p.num_seeds)
         tm = _StageTimer(_TIMING)
         t0 = time.time()
-        fetched = jax.device_get([(n, pk) for (n, pk, _, _) in p.progs])
+        ns_h, packed_h = jax.device_get((p.ns, p.packed))
         tm.add("d2h", time.time() - t0)
 
         rows = []  # (global_row_idx, rs, qs, ln, total, counts[4])
-        for (n_c, packed), (_, _, g0, m) in zip(fetched, p.progs):
-            n_c = int(n_c)
+        for pi, (g0, m) in enumerate(p.offsets):
+            n_c = int(ns_h[pi])
             if n_c == 0:
                 continue
+            packed = packed_h[pi]
             if n_c > packed.shape[0]:
                 # CBUF overflow (candidate-dense program): exact re-run
-                # without compaction
+                # with full-width compaction (CBUF == HBUF cannot overflow)
                 t0 = time.time()
-                packed = self._rerun_uncompacted(p, g0, m)
+                packed = self._rerun_full_compact(p, g0, m)[:n_c]
                 tm.add("rerun", time.time() - t0)
-                n_c = packed.shape[0]
             part = packed[:n_c].astype(np.int64)
             part[:, 0] += g0
             rows.append(part)
@@ -480,33 +501,29 @@ class DeviceAligner:
                 f"cand={len(allrows)}")
         return ChunkResult(hsps, p.num_hits, p.num_seeds)
 
-    def _rerun_uncompacted(self, p: PendingChunk, g0: int, m: int
-                           ) -> np.ndarray:
+    def _rerun_full_compact(self, p: PendingChunk, g0: int, m: int
+                            ) -> np.ndarray:
         """Exact fallback when a program's candidate count exceeds CBUF:
-        re-extend rows [g0, g0+m) and compact on host. Returns (n, 9)."""
-        from ..ops.extend_fused import extend_program
+        re-extend rows [g0, g0+m) with full-width device compaction
+        (CBUF == HBUF rows are kept, so a second overflow is impossible).
+        One extra program variant compiles the first time a run needs it;
+        after that an overflow costs one re-extension + one (HBUF, 9)
+        fetch instead of the full uncompacted buffer set. Returns (HBUF, 9)
+        with the candidates stably packed at the front."""
+        from ..ops.extend_fused import extend_compact_program
         HBUF = self.HBUF
         buf_r = np.zeros(HBUF, np.int32)
         buf_q = np.zeros(HBUF, np.int32)
         buf_r[:m] = p.ref_loc[g0:g0 + m]
         buf_q[:m] = p.query_loc[g0:g0 + m]
-        valid = np.zeros(HBUF, bool)
-        valid[:m] = True
         q_pad = self.q_rc if p.rev else self.q_fw
-        res = extend_program(
+        _, packed = extend_compact_program(
             self.ref_pad, q_pad, jax.device_put(buf_r, self.device),
-            jax.device_put(buf_q, self.device),
-            jax.device_put(valid, self.device), self.sub_flat, self.xdrop,
-            self.hspthresh, self.ref_len, self.q_len, pad=self.pad,
-            W=self.ext_window, engine=self.engine, W_CONT=self.W_CONT)
-        cand, rs, qs, ln, tot, cnt = jax.device_get(
-            (res["candidate"], res["rs"], res["qs"], res["length"],
-             res["total"], res["counts"]))
-        idx = np.nonzero(cand)[0].astype(np.int32)
-        return np.concatenate(
-            [idx[:, None], rs[idx][:, None], qs[idx][:, None],
-             ln[idx][:, None], tot[idx][:, None], cnt[idx]],
-            axis=1)
+            jax.device_put(buf_q, self.device), m, self.sub_flat,
+            self.xdrop, self.hspthresh, self.ref_len, self.q_len,
+            pad=self.pad, W=self.ext_window, CBUF=HBUF,
+            engine=self.engine, W_CONT=self.W_CONT)
+        return np.asarray(jax.device_get(packed))
 
     def _seed_and_filter_device(self, chunk_start: int, chunk_end: int,
                                 rev: bool,

@@ -58,9 +58,10 @@ def test_cbuf_overflow_fallback_is_exact():
             pend = tiny.dispatch_chunk(cs, ce, rev)
             # count programs that will overflow CBUF=8
             import jax
-            for (n_dev, _, _, _) in pend.progs:
-                if int(jax.device_get(n_dev)) > 8:
-                    overflowed += 1
+            if pend.offsets:
+                for n_dev in jax.device_get(pend.ns):
+                    if int(n_dev) > 8:
+                        overflowed += 1
             got = tiny.finish_chunk(pend)
             assert got.num_hits == want.num_hits
             np.testing.assert_array_equal(got.hsps, want.hsps,
