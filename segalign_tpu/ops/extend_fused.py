@@ -217,6 +217,28 @@ def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("pad", "W", "CONT", "engine",
+                                    "W_CONT", "UNROLL"))
+def extend_fields_program(ref_pad, query_pad, ref_loc, query_loc, m,
+                          sub_flat, xdrop, hspthresh, ref_len, query_len,
+                          *, pad: int, W: int = 256, CONT: int = 4096,
+                          engine: str = "xla", W_CONT: int = 0,
+                          UNROLL: int = 4):
+    """Extend rows [0, m) of an HBUF-sized hit batch; return the raw
+    finalize fields dict(candidate, rs, qs, length, total, counts) as
+    device arrays. Candidate compaction happens once per chunk-strand
+    across ALL programs (pipeline/device._pack_compact), not per program:
+    one global argsort replaces P per-program ones and removes the
+    per-program overflow case entirely."""
+    B = ref_loc.shape[0]
+    valid = jnp.arange(B, dtype=jnp.int32) < m
+    return _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid,
+                        sub_flat, xdrop, hspthresh, ref_len, query_len,
+                        pad=pad, W=W, CONT=CONT, engine=engine,
+                        W_CONT=W_CONT, UNROLL=UNROLL)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("pad", "W", "CONT", "CBUF", "engine",
                                     "W_CONT", "UNROLL"))
 def extend_compact_program(ref_pad, query_pad, ref_loc, query_loc, m,

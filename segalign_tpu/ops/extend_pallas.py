@@ -79,11 +79,20 @@ def _window_scan_kernel(r_ref, q_ref, inb_ref, cum_ref, maxv_ref, maxp_ref,
     maxv0 = maxv_ref[:]
     maxp0 = maxp_ref[:]
 
-    # score lookup: one-hot over the 64-entry substitution table
+    # score lookup: per-lane dynamic_gather from the 64-entry substitution
+    # table (one tpu.dynamic_gather per 128-lane group). The previous
+    # 64-iteration select loop was ~192 VPU ops/cell and dominated the
+    # whole kernel's compute.
     idx = r * 8 + q
-    sc = jnp.zeros((BR, W), jnp.int32)
-    for e in range(64):
-        sc = sc + jnp.where(idx == e, sub_ref[0, e], 0)
+    if W % 128 == 0:
+        tb = jnp.broadcast_to(sub_ref[:1, :], (BR, 128))
+        sc = jnp.concatenate(
+            [jnp.take_along_axis(tb, idx[:, c * 128:(c + 1) * 128], axis=1)
+             for c in range(W // 128)], axis=1)
+    else:  # fallback for non-vreg-multiple widths (unused in production)
+        sc = jnp.zeros((BR, W), jnp.int32)
+        for e in range(64):
+            sc = sc + jnp.where(idx == e, sub_ref[0, e], 0)
     sc = jnp.where(inb, sc, 0)
 
     cum = _lane_cumsum(sc, W) + cum0[:, :1]
@@ -150,7 +159,10 @@ def window_scan_pallas(r, q, inb, cum, maxv, maxp, done, counts, cdel,
     updated state arrays."""
     B = r.shape[0]
     misc = jnp.stack([jnp.int32(xdrop), jnp.int32(tile)])
-    sub2d = sub_flat.reshape(1, 64)
+    # pad the table to one full vreg of lanes for the dynamic_gather source
+    sub2d = jnp.concatenate(
+        [sub_flat.reshape(1, 64),
+         jnp.zeros((1, 64), sub_flat.dtype)], axis=1)
     col = lambda a: a.reshape(B, 1)
 
     grid = (B // BR,)
@@ -160,7 +172,7 @@ def window_scan_pallas(r, q, inb, cum, maxv, maxp, done, counts, cdel,
                             memory_space=pltpu.VMEM)
     four_spec = pl.BlockSpec((BR, 4), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    sub_spec = pl.BlockSpec((1, 64), lambda i: (0, 0),
+    sub_spec = pl.BlockSpec((1, 128), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     misc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 

@@ -175,15 +175,17 @@ class PendingChunk:
     rev: bool
     num_seeds: int
     num_hits: int
-    # per program: (row_offset g0, live rows m)
-    offsets: list
-    # stacked device results of all programs: ns (P,) int32 candidate
-    # counts + packed (P, CBUF, 9) compacted candidates — exactly TWO
-    # arrays cross the host boundary per chunk-strand (each device_get
-    # array costs a full link round trip; round 1 fetched 2 arrays per
-    # HBUF program, ~48 RTTs per chunk)
-    ns: Optional[object]
-    packed: Optional[object]
+    # per-program raw finalize fields (device arrays), kept until finish
+    # so a TBUF escalation only re-runs the cheap compaction program
+    fins: list
+    # global compaction results: total (device int32 scalar) and
+    # out (TBUF, 9) int32 with all candidates stably packed at the front.
+    # finish fetches total, then ONE bucketed slice of out — candidate
+    # D2H volume is proportional to the true candidate count, not to
+    # programs x buffer width (each device_get costs a full link round
+    # trip; round 1 fetched 2 arrays per HBUF program, ~48 RTTs/chunk)
+    total: Optional[object]
+    out: Optional[object]
     # logical-batch boundaries (reference max_hits iteration batching)
     # as end offsets into the filtered row stream
     seg_ends: np.ndarray
@@ -192,10 +194,48 @@ class PendingChunk:
     query_loc: Optional[np.ndarray] = None
 
 
-@jax.jit
-def _pack_progs(ns, pks):
-    """Stack P per-program (n, packed) results into one fetchable pair."""
-    return jnp.stack(ns), jnp.stack(pks)
+@functools.partial(jax.jit, static_argnames=("TBUF",))
+def _pack_compact(fins, *, TBUF: int):
+    """Compact the candidates of ALL per-program extension results into
+    one (TBUF, 9) int32 block: global_row_idx, rs, qs, length, total,
+    counts[4]. Row order (== reference hit order) is preserved by the
+    stable argsort, so the host's logical-batch split stays exact.
+
+    The on-device analog of compress_output + the D2H copy
+    (/root/reference/src/seed_filter.cu:654-680,788), done once per
+    chunk-strand instead of once per program."""
+    stack = lambda k: jnp.concatenate([f[k].reshape(len(f[k]), -1)
+                                       for f in fins], axis=0)
+    cand = jnp.concatenate([f["candidate"] for f in fins])
+    n = cand.shape[0]  # P * HBUF; global row idx == flatten order
+    total = jnp.sum(cand.astype(jnp.int32))
+    perm = jnp.argsort(jnp.logical_not(cand), stable=True)
+    sel = perm[:min(TBUF, n)].astype(jnp.int32)
+    take = lambda k: jnp.take(stack(k), sel, axis=0)
+    out = jnp.concatenate([
+        sel[:, None], take("rs"), take("qs"), take("length"),
+        take("total"), take("counts")], axis=1)
+    return total, out
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _slice_rows(a, *, k: int):
+    """Front-slice for the bucketed candidate fetch (one cached
+    executable per bucket size)."""
+    return a[:k]
+
+
+# Fetch-bucket ladder: SMALL (covers typical chunk-strands cheaply) or the
+# full compaction width. Kept to two sizes on purpose: every distinct
+# static shape is a separate executable, and a remote AOT compile through
+# the axon tunnel costs ~10 s — a finer ladder would stall mid-run on each
+# first use. Both sizes are prewarmed in set_ref.
+_BUCKET_SMALL = 2048
+
+
+def _bucket_for(total: int, cap: int) -> int:
+    """Fetch bucket >= total, clamped to cap."""
+    return min(_BUCKET_SMALL if total <= _BUCKET_SMALL else cap, cap)
 
 
 class DeviceAligner:
@@ -219,11 +259,13 @@ class DeviceAligner:
         self.chunk_size = chunk_size
         self.max_hits = max_hits
         self.HBUF = HBUF
-        # device-side compaction width: candidates per HBUF program kept on
-        # device before D2H (overflow -> exact host re-run, see
-        # finish_chunk). SEGALIGN_CBUF overrides for repeat-dense genomes.
+        # global candidate-compaction width per chunk-strand: all programs'
+        # candidates are packed into one (CBUF, 9) device block before D2H
+        # (_pack_compact); the fetch is bucketed by the true candidate
+        # count. Overflow -> one cheap re-compaction at escalated width,
+        # no re-extension (finish_chunk).
         self.CBUF = (CBUF or int(os.environ.get("SEGALIGN_CBUF", "0"))
-                     or 2048)
+                     or 16384)
         self.B = B
         self.W = W
         self.twophase = twophase
@@ -273,6 +315,34 @@ class DeviceAligner:
         self._host_tables = None  # (index_table, pos_table) numpy
         self._q_fw_host = None
         self._q_rc_host = None
+        self._dummy_fin_cache = None
+
+    def _dummy_fin(self):
+        """All-invalid extension-result fields used to pad the program
+        list of _pack_compact to a power-of-two size class."""
+        if self._dummy_fin_cache is None:
+            HBUF = self.HBUF
+            z = jnp.zeros((HBUF,), jnp.int32)
+            self._dummy_fin_cache = dict(
+                candidate=jax.device_put(jnp.zeros((HBUF,), bool),
+                                         self.device),
+                rs=z, qs=z, length=z, total=z,
+                counts=jnp.zeros((HBUF, 4), jnp.int32))
+            self._dummy_fin_cache = {
+                k: jax.device_put(v, self.device)
+                for k, v in self._dummy_fin_cache.items()}
+        return self._dummy_fin_cache
+
+    def _warm_fetch_paths(self):
+        """Compile the candidate-fetch slice executables up front: a remote
+        AOT compile costs ~10 s through the axon tunnel, and paying it
+        lazily would stall the pipeline on the first chunk that needs
+        each bucket."""
+        dummy = jax.device_put(jnp.zeros((self.CBUF, 9), jnp.int32),
+                               self.device)
+        for k in (_BUCKET_SMALL, self.CBUF):
+            if k <= self.CBUF:
+                _slice_rows(dummy, k=k)
 
     # -- block management (analog of SendRefWriteRequest / SendQuery...) ----
 
@@ -281,6 +351,7 @@ class DeviceAligner:
         host build can be replicated across devices (the reference uploads
         one host-built table to every GPU, seed_pos_table.cu:33-47)."""
         self.ref_len = len(ref_codes)
+        self._warm_fetch_paths()
         # right_pad covers the Pallas row-gather's aligned-superset DMA
         from ..ops.extend_pallas import awin_for
         aw = awin_for(max(self.ext_window, self.W_CONT))
@@ -381,7 +452,7 @@ class DeviceAligner:
         (reference-exact); the x-drop extension + candidate compaction run
         on the TPU as ONE program per HBUF subrange (ops/extend_fused).
         Nothing here blocks on the device."""
-        from ..ops.extend_fused import extend_compact_program
+        from ..ops.extend_fused import extend_fields_program
         tm = _StageTimer(_TIMING)
         t0 = time.time()
         q_host = self._q_rc_host if rev else self._q_fw_host
@@ -415,9 +486,7 @@ class DeviceAligner:
 
         q_pad = self.q_rc if rev else self.q_fw
         HBUF = self.HBUF
-        offsets = []
-        ns_list = []
-        pk_list = []
+        fins = []
         for g0 in range(0, n, HBUF):
             t0 = time.time()
             g1 = min(g0 + HBUF, n)
@@ -434,58 +503,57 @@ class DeviceAligner:
             d_q = jax.device_put(buf_q, self.device)
             tm.add("h2d", time.time() - t0)
             t0 = time.time()
-            n_dev, packed_dev = extend_compact_program(
+            fin = extend_fields_program(
                 self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
-                pad=self.pad, W=self.ext_window, CBUF=self.CBUF,
+                pad=self.pad, W=self.ext_window,
                 engine=self.engine, W_CONT=self.W_CONT)
-            _dbg_sync("extend", n_dev)
-            offsets.append((g0, m))
-            ns_list.append(n_dev)
-            pk_list.append(packed_dev)
+            _dbg_sync("extend", fin["candidate"])
+            fins.append(fin)
             tm.add("extend", time.time() - t0)
         t0 = time.time()
-        ns, packed = _pack_progs(tuple(ns_list), tuple(pk_list))
+        # pad the program list to a power of two with all-invalid dummies:
+        # _pack_compact then has one executable per size CLASS instead of
+        # one per exact program count (each variant is a ~10 s remote AOT
+        # compile through the axon tunnel)
+        P = len(fins)
+        p_pad = 1 << (P - 1).bit_length()
+        fins_padded = fins + [self._dummy_fin()] * (p_pad - P)
+        total, out = _pack_compact(fins_padded, TBUF=self.CBUF)
         tm.add("pack", time.time() - t0)
         tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
                 f"hits={num_hits}")
         return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
-                            num_hits, offsets, ns, packed, seg_ends,
+                            num_hits, fins_padded, total, out, seg_ends,
                             ref_loc, query_loc)
 
     def finish_chunk(self, p: PendingChunk) -> ChunkResult:
         """Collect a dispatched chunk: D2H of compacted candidates, logical
         -batch split, host entropy finalize + dedup."""
-        if not p.offsets:
+        if not p.fins:
             return ChunkResult(np.zeros((0, 4), np.int64), p.num_hits,
                                p.num_seeds)
         tm = _StageTimer(_TIMING)
         t0 = time.time()
-        ns_h, packed_h = jax.device_get((p.ns, p.packed))
-        tm.add("d2h", time.time() - t0)
-
-        rows = []  # (global_row_idx, rs, qs, ln, total, counts[4])
-        for pi, (g0, m) in enumerate(p.offsets):
-            n_c = int(ns_h[pi])
-            if n_c == 0:
-                continue
-            packed = packed_h[pi]
-            if n_c > packed.shape[0]:
-                # CBUF overflow (candidate-dense program): exact re-run
-                # with full-width compaction (CBUF == HBUF cannot overflow)
-                t0 = time.time()
-                packed = self._rerun_full_compact(p, g0, m)[:n_c]
-                tm.add("rerun", time.time() - t0)
-            part = packed[:n_c].astype(np.int64)
-            part[:, 0] += g0
-            rows.append(part)
-        if not rows:
+        total = int(jax.device_get(p.total))
+        out = p.out
+        if total > out.shape[0]:
+            # rare: more candidates than the compaction buffer — re-run
+            # only the (cheap) compaction over the retained extension
+            # results at an escalated width; no re-extension
+            _, out = _pack_compact(p.fins, TBUF=_bucket_for(
+                total, sum(f["candidate"].shape[0] for f in p.fins)))
+            tm.add("recompact", time.time() - t0)
+        if total == 0:
             tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev}")
             return ChunkResult(np.zeros((0, 4), np.int64), p.num_hits,
                                p.num_seeds)
+        k = _bucket_for(total, out.shape[0])
+        allrows = np.asarray(
+            jax.device_get(_slice_rows(out, k=k))[:total], np.int64)
+        tm.add("d2h", time.time() - t0)
 
         t0 = time.time()
-        allrows = np.concatenate(rows, axis=0)
         seg = np.searchsorted(p.seg_ends, allrows[:, 0], side="right")
         all_out: List[np.ndarray] = []
         for s in np.unique(seg):
@@ -500,30 +568,6 @@ class DeviceAligner:
         tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev} "
                 f"cand={len(allrows)}")
         return ChunkResult(hsps, p.num_hits, p.num_seeds)
-
-    def _rerun_full_compact(self, p: PendingChunk, g0: int, m: int
-                            ) -> np.ndarray:
-        """Exact fallback when a program's candidate count exceeds CBUF:
-        re-extend rows [g0, g0+m) with full-width device compaction
-        (CBUF == HBUF rows are kept, so a second overflow is impossible).
-        One extra program variant compiles the first time a run needs it;
-        after that an overflow costs one re-extension + one (HBUF, 9)
-        fetch instead of the full uncompacted buffer set. Returns (HBUF, 9)
-        with the candidates stably packed at the front."""
-        from ..ops.extend_fused import extend_compact_program
-        HBUF = self.HBUF
-        buf_r = np.zeros(HBUF, np.int32)
-        buf_q = np.zeros(HBUF, np.int32)
-        buf_r[:m] = p.ref_loc[g0:g0 + m]
-        buf_q[:m] = p.query_loc[g0:g0 + m]
-        q_pad = self.q_rc if p.rev else self.q_fw
-        _, packed = extend_compact_program(
-            self.ref_pad, q_pad, jax.device_put(buf_r, self.device),
-            jax.device_put(buf_q, self.device), m, self.sub_flat,
-            self.xdrop, self.hspthresh, self.ref_len, self.q_len,
-            pad=self.pad, W=self.ext_window, CBUF=HBUF,
-            engine=self.engine, W_CONT=self.W_CONT)
-        return np.asarray(jax.device_get(packed))
 
     def _seed_and_filter_device(self, chunk_start: int, chunk_end: int,
                                 rev: bool,

@@ -1,9 +1,11 @@
-"""Pipelined dispatch/finish engine: CBUF-overflow fallback + equivalence.
+"""Pipelined dispatch/finish engine: TBUF-escalation fallback + equivalence.
 
-The native path compacts candidates on device into CBUF rows per program
-(ops/extend_fused.extend_compact_program); when a program has more
-candidates than CBUF, finish_chunk re-runs it uncompacted. Both paths and
-the pipelined map_chunks must be bit-identical to the per-chunk API.
+The native path extends hits in HBUF-sized programs, then compacts ALL
+programs' candidates into one (CBUF, 9) device block per chunk-strand
+(pipeline/device._pack_compact). When the chunk has more candidates than
+CBUF, finish_chunk re-runs only the compaction at an escalated width (the
+per-program extension results are retained on device). Both paths and the
+pipelined map_chunks must be bit-identical to the per-chunk API.
 """
 
 import numpy as np
@@ -18,7 +20,7 @@ RC = np.array([3, 2, 1, 0, 4, 5, 6, 7], np.uint8)
 
 def _dense_pair(rng, n=3000):
     """A pair with a long exact repeat so nearly every hit is a candidate
-    (forces CBUF overflow at small CBUF)."""
+    (forces compaction overflow at small CBUF)."""
     ref = rng.integers(0, 4, n).astype(np.uint8)
     query = rng.integers(0, 4, n).astype(np.uint8)
     core = rng.integers(0, 4, 1200).astype(np.uint8)
@@ -35,14 +37,14 @@ def _mk(sc, sub, cbuf, hbuf=512):
         CBUF=cbuf)
 
 
-def test_cbuf_overflow_fallback_is_exact():
+def test_tbuf_overflow_escalation_is_exact():
     rng = np.random.default_rng(11)
     sc = make_seed_config("12of19")
     sub = build_substitution_matrix(910)
     ref, query = _dense_pair(rng)
     qrc = RC[query[::-1]]
 
-    big = _mk(sc, sub, cbuf=512)   # never overflows (CBUF == HBUF)
+    big = _mk(sc, sub, cbuf=2048)  # never overflows
     tiny = _mk(sc, sub, cbuf=8)    # overflows on the dense chunks
     for al in (big, tiny):
         al.set_ref(ref)
@@ -56,17 +58,15 @@ def test_cbuf_overflow_fallback_is_exact():
         for rev in (False, True):
             want = big.seed_and_filter(cs, ce, rev)
             pend = tiny.dispatch_chunk(cs, ce, rev)
-            # count programs that will overflow CBUF=8
+            # count chunk-strands that overflow the CBUF=8 compaction
             import jax
-            if pend.offsets:
-                for n_dev in jax.device_get(pend.ns):
-                    if int(n_dev) > 8:
-                        overflowed += 1
+            if pend.fins and int(jax.device_get(pend.total)) > 8:
+                overflowed += 1
             got = tiny.finish_chunk(pend)
             assert got.num_hits == want.num_hits
             np.testing.assert_array_equal(got.hsps, want.hsps,
                                           err_msg=f"{cs}:{ce} rev={rev}")
-    assert overflowed > 0  # the fallback was actually exercised
+    assert overflowed > 0  # the escalation was actually exercised
 
 
 def test_pipelined_map_chunks_matches_sequential():
