@@ -275,11 +275,13 @@ def _extension_window_step_pallas(seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
     r, q, inb = _robust_call(
         _gather_window_jit, seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
         ref_len, query_len, pad=pad, W=W, left=left)
+    del inb  # the scan kernel derives in-bounds masks from loc_r/loc_q
     B = loc_r.shape[0]
     BR = min(256, B)
     o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = _robust_call(
-        window_scan_pallas, r, q, inb, cum, maxv, maxp, done, counts, cdel,
-        sub_flat, xdrop, tile, W=W, left=left, BR=BR, interpret=interpret)
+        window_scan_pallas, r, q, loc_r, loc_q, cum, maxv, maxp, done,
+        counts, cdel, sub_flat, xdrop, tile, ref_len, query_len, W=W,
+        left=left, BR=BR, interpret=interpret)
     out = dict(done=o_done, cum=o_cum, maxv=o_maxv, maxp=o_maxp,
                counts=o_counts, cdel=o_cdel)
     out["n_alive"] = jnp.sum(jnp.logical_not(o_done).astype(jnp.int32))

@@ -48,7 +48,6 @@ def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
     # scan-kernel block height scales down with window width (VMEM budget)
     BR = min(256, B, max(8, (1 << 17) // W))
     assert B % BR == 0 and BR % 8 == 0, (B, BR)
-    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
     if left:
         r_start = pad + loc_r - tile - W
         q_start = pad + loc_q - tile - W
@@ -64,18 +63,12 @@ def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
     q = gather_rows_pallas(seq_q, q_start, W=W, BR=min(256, B),
                            interpret=interpret)
     if left:
-        p = tile + 1 + lanes
         r = r[:, ::-1]
         q = q[:, ::-1]
-        inb = (loc_r[:, None] >= p) & (loc_q[:, None] >= p)
-    else:
-        p = tile + lanes
-        inb = ((loc_r[:, None] + p) < ref_len) & \
-              ((loc_q[:, None] + p) < query_len)
     o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = window_scan_pallas(
-        r, q, inb.astype(jnp.int32), st["cum"], st["maxv"], st["maxp"],
+        r, q, loc_r, loc_q, st["cum"], st["maxv"], st["maxp"],
         st["done"], st["counts"], st["cdel"], sub_flat, xdrop, tile,
-        W=W, left=left, BR=BR, interpret=interpret)
+        ref_len, query_len, W=W, left=left, BR=BR, interpret=interpret)
     out = dict(done=o_done, cum=o_cum, maxv=o_maxv, maxp=o_maxp,
                counts=o_counts, cdel=o_cdel)
     n_alive = jnp.sum(jnp.logical_not(o_done).astype(jnp.int32))
@@ -120,11 +113,45 @@ def _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
     return cst
 
 
-def _run_dir(seq_r, seq_q, loc_r, loc_q, valid, sub_flat, xdrop, ref_len,
-             query_len, init_maxp, counts0, *, pad, W, CONT, left,
-             engine, W_CONT=0, UNROLL=4):
-    """One extension direction: first window at width W over the full
-    batch, then a compacted continuation at width W_CONT (defaults to W).
+def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
+                        xdrop, ref_len, query_len, *, pad, W,
+                        interpret=False):
+    """Both directions' first windows off ONE shared gather per sequence.
+
+    The per-row DMA issue + aligned-superset extraction is the dominant
+    per-hit cost (see extend_pallas._gather_rows_kernel); the 2W-wide
+    aligned superset of [loc - W, loc + W) is the SAME AWIN bytes as
+    either direction's alone, so gathering once and slicing halves the
+    gather work of the first window. Directions are independent because
+    the entropy counts fold is additive in its initial value (the left
+    direction starts from zero counts; _extend_core adds the right
+    direction's counts at finalize)."""
+    from .extend_pallas import gather_rows_pallas, first_scan_pallas, \
+        awin_for
+    AW = awin_for(2 * W)
+    B = loc_r.shape[0]
+    BR = min(256, B, max(8, (1 << 17) // (2 * W)))
+    r_start = jnp.clip(pad + loc_r - W, 0, seq_r.shape[0] - AW)
+    q_start = jnp.clip(pad + loc_q - W, 0, seq_q.shape[0] - AW)
+    r2 = gather_rows_pallas(seq_r, r_start, W=2 * W, BR=min(256, B),
+                            interpret=interpret)
+    q2 = gather_rows_pallas(seq_q, q_start, W=2 * W, BR=min(256, B),
+                            interpret=interpret)
+    valid = jnp.logical_not(st_r["done"])
+    out_r, out_l = first_scan_pallas(
+        r2, q2, loc_r, loc_q, valid, sub_flat, xdrop, ref_len, query_len,
+        W=W, BR=BR, interpret=interpret)
+    na_r = jnp.sum(jnp.logical_not(out_r["done"]).astype(jnp.int32))
+    na_l = jnp.sum(jnp.logical_not(out_l["done"]).astype(jnp.int32))
+    return (out_r, na_r), (out_l, na_l)
+
+
+def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
+              ref_len, query_len, *, pad, W, CONT, left, engine,
+              W_CONT=0, UNROLL=4):
+    """Continue one direction after its first window: full-batch stepping
+    while > CONT rows live, then a compacted continuation at width W_CONT
+    (defaults to W).
 
     Wider continuation windows amortize both the per-iteration pipeline
     stall of the data-dependent while_loop and the per-row DMA issue cost:
@@ -133,14 +160,6 @@ def _run_dir(seq_r, seq_q, loc_r, loc_q, valid, sub_flat, xdrop, ref_len,
     pad >= W_CONT (left-gather lower bound)."""
     Wc = W_CONT or W
     B = loc_r.shape[0]
-    z = jnp.zeros((B,), jnp.int32)
-    st = dict(done=jnp.logical_not(valid), cum=z, maxv=z,
-              maxp=jnp.full((B,), init_maxp, jnp.int32), counts=counts0,
-              cdel=jnp.zeros((B, 4), jnp.int32))
-    st, n_alive = _step(seq_r, seq_q, loc_r, loc_q, jnp.int32(0), st,
-                        sub_flat, xdrop, ref_len, query_len, pad=pad, W=W,
-                        left=left, engine=engine)
-
     if B <= CONT:
         # batch already fits the continuation width: no compaction
         return _cont_loop(seq_r, seq_q, loc_r, loc_q, st, jnp.int32(W),
@@ -148,37 +167,39 @@ def _run_dir(seq_r, seq_q, loc_r, loc_q, valid, sub_flat, xdrop, ref_len,
                           pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
                           engine=engine)
 
-    # phase 2: full-batch stepping at width W while > CONT rows live
-    def cond_full(c):
-        return c[2] > CONT
+    # graduated rounds: while any rows live, compact the first CONT of
+    # them to the front, run them to completion at width Wc, merge back.
+    # Cost is alive-linear per round (the previous full-batch "phase 2"
+    # stepping was B-linear PER WINDOW, which at B >= 2^18 made candidate
+    # -dense chunks quadratically expensive). Scheduling only — each row's
+    # extension is independent, so results are bit-identical.
+    def round_cond(c):
+        return c[1] > 0
 
-    def body_full(c):
-        tile, s, _ = c
-        s2, na = _step(seq_r, seq_q, loc_r, loc_q, tile, s, sub_flat,
-                       xdrop, ref_len, query_len, pad=pad, W=W, left=left,
-                       engine=engine)
-        return tile + W, s2, na
+    def round_body(c):
+        st, na = c
+        order = jnp.argsort(st["done"], stable=True)
+        inv = jnp.argsort(order, stable=True)
+        prefix = order[:CONT]
+        take = lambda a: jnp.take(a, prefix, axis=0)
+        c_lr, c_lq = take(loc_r), take(loc_q)
+        cst = {kk: take(st[kk]) for kk in _STATE}
+        cohort = jnp.sum(jnp.logical_not(cst["done"]).astype(jnp.int32))
+        cst = _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, jnp.int32(W),
+                         cohort, sub_flat, xdrop, ref_len, query_len,
+                         pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
+                         engine=engine)
 
-    tile, st, n_alive = jax.lax.while_loop(
-        cond_full, body_full, (jnp.int32(W), st, n_alive))
+        # merge back (sorted-space concat then unsort; gather-only)
+        def merge(c, full):
+            rest = jnp.take(full, order[CONT:], axis=0)
+            return jnp.take(jnp.concatenate([c, rest], axis=0), inv,
+                            axis=0)
 
-    # phase 3: compact live rows to the front (stable: extend3._alive_order)
-    order = jnp.argsort(st["done"], stable=True)
-    inv = jnp.argsort(order, stable=True)
-    prefix = order[:CONT]
-    take = lambda a: jnp.take(a, prefix, axis=0)
-    c_lr, c_lq = take(loc_r), take(loc_q)
-    cst = {kk: take(st[kk]) for kk in _STATE}
-    cst = _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile, n_alive,
-                     sub_flat, xdrop, ref_len, query_len, pad=pad, Wc=Wc,
-                     UNROLL=UNROLL, left=left, engine=engine)
+        return ({kk: merge(cst[kk], st[kk]) for kk in _STATE}, na - cohort)
 
-    # phase 4: merge back (sorted-space concat then unsort; gather-only)
-    def merge(c, full):
-        rest = jnp.take(full, order[CONT:], axis=0)
-        return jnp.take(jnp.concatenate([c, rest], axis=0), inv, axis=0)
-
-    return {kk: merge(cst[kk], st[kk]) for kk in _STATE}
+    st, _ = jax.lax.while_loop(round_cond, round_body, (st, n_alive))
+    return st
 
 
 def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
@@ -187,17 +208,42 @@ def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
     loc_r = jnp.where(valid, jnp.asarray(ref_loc, jnp.int32), 0)
     loc_q = jnp.where(valid, jnp.asarray(query_loc, jnp.int32), 0)
     B = loc_r.shape[0]
-    zc = jnp.zeros((B, 4), jnp.int32)
+
+    def init_st(init_maxp):
+        z = jnp.zeros((B,), jnp.int32)
+        return dict(done=jnp.logical_not(valid), cum=z, maxv=z,
+                    maxp=jnp.full((B,), init_maxp, jnp.int32),
+                    counts=jnp.zeros((B, 4), jnp.int32),
+                    cdel=jnp.zeros((B, 4), jnp.int32))
+
+    # both directions run independently from zero counts (the counts fold
+    # is additive in its initial value); the right direction's counts are
+    # added back at finalize. This lets the Pallas path share one first
+    # -window gather between the directions.
+    if engine in ("pallas", "pallas_interpret"):
+        (st_r0, na_r), (st_l0, na_l) = _first_steps_pallas(
+            ref_pad, query_pad, loc_r, loc_q, init_st(-1), init_st(0),
+            sub_flat, xdrop, ref_len, query_len, pad=pad, W=W,
+            interpret=engine == "pallas_interpret")
+    else:
+        st_r0, na_r = _step(ref_pad, query_pad, loc_r, loc_q,
+                            jnp.int32(0), init_st(-1), sub_flat, xdrop,
+                            ref_len, query_len, pad=pad, W=W, left=False,
+                            engine=engine)
+        st_l0, na_l = _step(ref_pad, query_pad, loc_r, loc_q,
+                            jnp.int32(0), init_st(0), sub_flat, xdrop,
+                            ref_len, query_len, pad=pad, W=W, left=True,
+                            engine=engine)
     kw = dict(pad=pad, W=W, CONT=CONT, engine=engine, W_CONT=W_CONT,
               UNROLL=UNROLL)
-    st_r = _run_dir(ref_pad, query_pad, loc_r, loc_q, valid, sub_flat,
-                    xdrop, ref_len, query_len, -1, zc, left=False, **kw)
-    st_l = _run_dir(ref_pad, query_pad, loc_r, loc_q, valid, sub_flat,
-                    xdrop, ref_len, query_len, 0, st_r["counts"],
-                    left=True, **kw)
+    st_r = _run_tail(ref_pad, query_pad, loc_r, loc_q, st_r0, na_r,
+                     sub_flat, xdrop, ref_len, query_len, left=False, **kw)
+    st_l = _run_tail(ref_pad, query_pad, loc_r, loc_q, st_l0, na_l,
+                     sub_flat, xdrop, ref_len, query_len, left=True, **kw)
     return _finalize.__wrapped__(valid, loc_r, loc_q, st_r["maxv"],
                                  st_r["maxp"], st_l["maxv"], st_l["maxp"],
-                                 st_l["counts"], hspthresh)
+                                 st_r["counts"] + st_l["counts"],
+                                 hspthresh)
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "W", "CONT", "engine",

@@ -56,22 +56,78 @@ def _lane_cumor(x_bool, W):
     return x > 0
 
 
-def _window_scan_kernel(r_ref, q_ref, inb_ref, cum_ref, maxv_ref, maxp_ref,
-                        done_ref, counts_ref, cdel_ref, sub_ref, misc_ref,
-                        o_cum_ref, o_maxv_ref, o_maxp_ref, o_done_ref,
-                        o_counts_ref, o_cdel_ref, *, W: int, left: bool):
+# Mirrored (right-to-left) scans: equivalent to reversing the lanes,
+# running the forward scan, and reversing back — without the reversals.
+# roll(x, W - k) is the circular equivalent of roll(x, -k).
+
+def _lane_rcumsum(x, W):
+    k = 1
+    while k < W:
+        shifted = pltpu.roll(x, W - k, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = x + jnp.where(lane < W - k, shifted, 0)
+        k *= 2
+    return x
+
+
+def _lane_rcummax(x, W):
+    k = 1
+    while k < W:
+        shifted = pltpu.roll(x, W - k, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.maximum(x, jnp.where(lane < W - k, shifted, NEG))
+        k *= 2
+    return x
+
+
+def _lane_rcumor(x_bool, W):
+    x = x_bool.astype(jnp.int32)
+    k = 1
+    while k < W:
+        shifted = pltpu.roll(x, W - k, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.maximum(x, jnp.where(lane < W - k, shifted, 0))
+        k *= 2
+    return x > 0
+
+
+def _lookup_scores(idx, sub_ref, BR, W):
+    """Per-lane substitution lookup via tpu.dynamic_gather (one gather per
+    128-lane group). The source must span exactly one vreg of lanes."""
+    if W % 128 == 0:
+        tb = jnp.broadcast_to(sub_ref[:1, :], (BR, 128))
+        return jnp.concatenate(
+            [jnp.take_along_axis(tb, idx[:, c * 128:(c + 1) * 128], axis=1)
+             for c in range(W // 128)], axis=1)
+    # fallback for non-vreg-multiple widths (unused in production)
+    sc = jnp.zeros((BR, W), jnp.int32)
+    for e in range(64):
+        sc = sc + jnp.where(idx == e, sub_ref[0, e], 0)
+    return sc
+
+
+def _window_scan_kernel(r_ref, q_ref, lr_ref, lq_ref, cum_ref, maxv_ref,
+                        maxp_ref, done_ref, counts_ref, cdel_ref, sub_ref,
+                        misc_ref, o_cum_ref, o_maxv_ref, o_maxp_ref,
+                        o_done_ref, o_counts_ref, o_cdel_ref, *, W: int,
+                        left: bool):
     xdrop = misc_ref[0]
     tile = misc_ref[1]
+    ref_len = misc_ref[2]
+    query_len = misc_ref[3]
 
     r = r_ref[:]
     q = q_ref[:]
-    inb = inb_ref[:] != 0
+    lr = lr_ref[:]  # (BR, 1) anchor locations: in-bounds masks are
+    lq = lq_ref[:]  # computed here, not materialized as (B, W) inputs
     BR = r.shape[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (BR, W), 1)
     if left:
         p = tile + 1 + lanes
+        inb = (lr >= p) & (lq >= p)
     else:
         p = tile + lanes
+        inb = ((lr + p) < ref_len) & ((lq + p) < query_len)
 
     done_in = done_ref[:] != 0
     alive = jnp.logical_not(done_in)
@@ -80,19 +136,9 @@ def _window_scan_kernel(r_ref, q_ref, inb_ref, cum_ref, maxv_ref, maxp_ref,
     maxp0 = maxp_ref[:]
 
     # score lookup: per-lane dynamic_gather from the 64-entry substitution
-    # table (one tpu.dynamic_gather per 128-lane group). The previous
-    # 64-iteration select loop was ~192 VPU ops/cell and dominated the
-    # whole kernel's compute.
-    idx = r * 8 + q
-    if W % 128 == 0:
-        tb = jnp.broadcast_to(sub_ref[:1, :], (BR, 128))
-        sc = jnp.concatenate(
-            [jnp.take_along_axis(tb, idx[:, c * 128:(c + 1) * 128], axis=1)
-             for c in range(W // 128)], axis=1)
-    else:  # fallback for non-vreg-multiple widths (unused in production)
-        sc = jnp.zeros((BR, W), jnp.int32)
-        for e in range(64):
-            sc = sc + jnp.where(idx == e, sub_ref[0, e], 0)
+    # table. The previous 64-iteration select loop was ~192 VPU ops/cell
+    # and dominated the whole kernel's compute.
+    sc = _lookup_scores(r * 8 + q, sub_ref, BR, W)
     sc = jnp.where(inb, sc, 0)
 
     cum = _lane_cumsum(sc, W) + cum0[:, :1]
@@ -147,22 +193,29 @@ def _window_scan_kernel(r_ref, q_ref, inb_ref, cum_ref, maxv_ref, maxp_ref,
     o_cdel_ref[:] = jnp.where(al, cdel_f, cdel0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("W", "left", "BR", "interpret"))
-def window_scan_pallas(r, q, inb, cum, maxv, maxp, done, counts, cdel,
-                       sub_flat, xdrop, tile, *, W: int, left: bool,
-                       BR: int = 256, interpret: bool = False):
-    """Scan one W-wide window for B hits with a single fused kernel.
-
-    r/q: (B, W) int32 window codes; inb: (B, W) int32 0/1 in-bounds mask;
-    state arrays (B,) / (B, 4) as in extension_window_step. Returns the six
-    updated state arrays."""
-    B = r.shape[0]
-    misc = jnp.stack([jnp.int32(xdrop), jnp.int32(tile)])
-    # pad the table to one full vreg of lanes for the dynamic_gather source
-    sub2d = jnp.concatenate(
+def _sub128(sub_flat):
+    """Pad the 64-entry table to one full vreg of lanes (dynamic_gather
+    source)."""
+    return jnp.concatenate(
         [sub_flat.reshape(1, 64),
          jnp.zeros((1, 64), sub_flat.dtype)], axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "left", "BR", "interpret"))
+def window_scan_pallas(r, q, loc_r, loc_q, cum, maxv, maxp, done, counts,
+                       cdel, sub_flat, xdrop, tile, ref_len, query_len, *,
+                       W: int, left: bool, BR: int = 256,
+                       interpret: bool = False):
+    """Scan one W-wide window for B hits with a single fused kernel.
+
+    r/q: (B, W) int32 window codes (extension order: reversed for left);
+    loc_r/loc_q: (B,) anchor positions (in-bounds masks are derived in
+    -kernel); state arrays (B,) / (B, 4) as in extension_window_step.
+    Returns the six updated state arrays."""
+    B = r.shape[0]
+    misc = jnp.stack([jnp.int32(xdrop), jnp.int32(tile),
+                      jnp.int32(ref_len), jnp.int32(query_len)])
     col = lambda a: a.reshape(B, 1)
 
     grid = (B // BR,)
@@ -179,9 +232,9 @@ def window_scan_pallas(r, q, inb, cum, maxv, maxp, done, counts, cdel,
     out = pl.pallas_call(
         functools.partial(_window_scan_kernel, W=W, left=left),
         grid=grid,
-        in_specs=[row_spec, row_spec, row_spec, one_spec, one_spec,
-                  one_spec, one_spec, four_spec, four_spec, sub_spec,
-                  misc_spec],
+        in_specs=[row_spec, row_spec, one_spec, one_spec, one_spec,
+                  one_spec, one_spec, one_spec, four_spec, four_spec,
+                  sub_spec, misc_spec],
         out_specs=(one_spec, one_spec, one_spec, one_spec, four_spec,
                    four_spec),
         out_shape=(
@@ -193,12 +246,149 @@ def window_scan_pallas(r, q, inb, cum, maxv, maxp, done, counts, cdel,
             jax.ShapeDtypeStruct((B, 4), jnp.int32),
         ),
         interpret=interpret,
-    )(r, q, inb, col(cum), col(maxv), col(maxp),
-      col(done.astype(jnp.int32)), counts, cdel, sub2d, misc)
+    )(r, q, col(loc_r), col(loc_q), col(cum), col(maxv), col(maxp),
+      col(done.astype(jnp.int32)), counts, cdel, _sub128(sub_flat), misc)
 
     o_cum, o_maxv, o_maxp, o_done, o_counts, o_cdel = out
     return (o_done.reshape(B) != 0, o_cum.reshape(B), o_maxv.reshape(B),
             o_maxp.reshape(B), o_counts, o_cdel)
+
+
+def _first_scan_kernel(r2_ref, q2_ref, lr_ref, lq_ref, valid_ref, sub_ref,
+                       misc_ref, *out_refs, W: int):
+    """Both directions' FIRST windows in one kernel over (BR, 2W) rows.
+
+    Lanes [0, W) hold sequence positions [loc - W, loc) in natural order
+    and are scanned right-to-left with the mirrored scans (the left
+    extension, without materializing reversed copies); lanes [W, 2W) hold
+    [loc, loc + W) for the right extension. Initial state is implicit
+    (cum = 0, maxv = 0, maxp = -1 right / 0 left, counts = cdel = 0), so
+    the twelve init-state operands of the generic window kernel vanish.
+    Semantics per direction are identical to _window_scan_kernel at
+    tile == 0; equivalence is covered by the engine-parity tests."""
+    xdrop = misc_ref[0]
+    ref_len = misc_ref[1]
+    query_len = misc_ref[2]
+    r2 = r2_ref[:]
+    q2 = q2_ref[:]
+    lr = lr_ref[:]  # (BR, 1)
+    lq = lq_ref[:]
+    alive = valid_ref[:] != 0
+    BR = r2.shape[0]
+    sc2 = _lookup_scores(r2 * 8 + q2, sub_ref, BR, 2 * W)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BR, W), 1)
+
+    for left in (False, True):
+        half = slice(0, W) if left else slice(W, 2 * W)
+        r, q, sc = r2[:, half], q2[:, half], sc2[:, half]
+        if left:
+            p = W - lanes  # extension offset of lane l is W - l
+            inb = (lr >= p) & (lq >= p)
+            cumsum, cummax, cumor = _lane_rcumsum, _lane_rcummax, \
+                _lane_rcumor
+            edge_lane = slice(0, 1)
+            init_maxp = 0
+        else:
+            p = lanes
+            inb = ((lr + p) < ref_len) & ((lq + p) < query_len)
+            cumsum, cummax, cumor = _lane_cumsum, _lane_cummax, _lane_cumor
+            edge_lane = slice(W - 1, W)
+            init_maxp = -1
+        sc = jnp.where(inb, sc, 0)
+        cum = cumsum(sc, W)
+        runmax = cummax(cum, W)
+        m = jnp.maximum(0, runmax)  # maxv0 == 0
+        drop = (m - cum) > xdrop
+        dropc = cumor(drop, W)
+        anydrop = dropc[:, edge_lane]
+        before = jnp.logical_not(dropc)
+
+        best_in = jnp.max(jnp.where(before, cum, NEG), axis=1,
+                          keepdims=True)
+        Mv = jnp.maximum(0, best_in)
+        is_new = Mv > 0
+        hit = (cum == Mv) & before
+        if left:
+            # earliest extension offset == largest lane achieving the max
+            jmax = jnp.max(jnp.where(hit, lanes, -1), axis=1,
+                           keepdims=True)
+            Mp = jnp.where(is_new, W - jmax, init_maxp)
+        else:
+            j = jnp.min(jnp.where(hit, lanes, W), axis=1, keepdims=True)
+            Mp = jnp.where(is_new, j, init_maxp)
+
+        edge = jnp.logical_not(inb[:, edge_lane])
+        finish = anydrop | edge
+
+        match = inb & (r == q) & (r < 4)
+        in_ext = p <= Mp
+        add_in = []
+        add_out = []
+        for c in range(4):
+            mc = match & (r == c)
+            add_in.append(jnp.sum(mc & in_ext, axis=1, keepdims=True,
+                                  dtype=jnp.int32))
+            add_out.append(jnp.sum(mc & jnp.logical_not(in_ext), axis=1,
+                                   keepdims=True, dtype=jnp.int32))
+
+        (o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel) = \
+            out_refs[6:] if left else out_refs[:6]
+        o_done[:] = jnp.logical_or(jnp.logical_not(alive),
+                                   finish).astype(jnp.int32)
+        last = slice(W - 1, W) if not left else slice(0, 1)
+        o_cum[:] = jnp.where(alive, cum[:, last], 0)
+        o_maxv[:] = jnp.where(alive, Mv, 0)
+        o_maxp[:] = jnp.where(alive, Mp, init_maxp)
+        o_counts[:] = jnp.where(alive, jnp.concatenate(add_in, axis=1), 0)
+        o_cdel[:] = jnp.where(alive, jnp.concatenate(add_out, axis=1), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "BR", "interpret"))
+def first_scan_pallas(r2, q2, loc_r, loc_q, valid, sub_flat, xdrop,
+                      ref_len, query_len, *, W: int, BR: int = 128,
+                      interpret: bool = False):
+    """First extension windows of BOTH directions from one (B, 2W) gather.
+
+    Returns (st_right, st_left): dicts of the six post-first-window state
+    arrays, exactly as two _window_scan_kernel calls at tile == 0 on fresh
+    state would produce."""
+    B = r2.shape[0]
+    misc = jnp.stack([jnp.int32(xdrop), jnp.int32(ref_len),
+                      jnp.int32(query_len)])
+    col = lambda a: a.reshape(B, 1)
+
+    grid = (B // BR,)
+    row_spec = pl.BlockSpec((BR, 2 * W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    one_spec = pl.BlockSpec((BR, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    four_spec = pl.BlockSpec((BR, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    sub_spec = pl.BlockSpec((1, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    misc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    col_i32 = jax.ShapeDtypeStruct((B, 1), jnp.int32)
+    col4_i32 = jax.ShapeDtypeStruct((B, 4), jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_first_scan_kernel, W=W),
+        grid=grid,
+        in_specs=[row_spec, row_spec, one_spec, one_spec, one_spec,
+                  sub_spec, misc_spec],
+        out_specs=(one_spec, one_spec, one_spec, one_spec, four_spec,
+                   four_spec) * 2,
+        out_shape=(col_i32, col_i32, col_i32, col_i32, col4_i32,
+                   col4_i32) * 2,
+        interpret=interpret,
+    )(r2, q2, col(loc_r), col(loc_q), col(valid.astype(jnp.int32)),
+      _sub128(sub_flat), misc)
+
+    def st(done, cum, maxv, maxp, counts, cdel):
+        return dict(done=done.reshape(B) != 0, cum=cum.reshape(B),
+                    maxv=maxv.reshape(B), maxp=maxp.reshape(B),
+                    counts=counts, cdel=cdel)
+
+    return st(*out[:6]), st(*out[6:])
 
 
 ALIGN = 1024  # Mosaic HBM slice alignment for 1-D i8 memrefs

@@ -244,7 +244,7 @@ class DeviceAligner:
 
     def __init__(self, *, shape_pos, seed_size, transition, step, sub_mat,
                  xdrop, hspthresh, noentropy, chunk_size,
-                 max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 15,
+                 max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 17,
                  B: int = 1 << 14, W: int = 128, rm_mode: bool = False,
                  twophase: bool = True, window: int = 512, device=None,
                  CBUF: int = 0, use_pallas: Optional[bool] = None):
@@ -258,7 +258,16 @@ class DeviceAligner:
         self.noentropy = noentropy
         self.chunk_size = chunk_size
         self.max_hits = max_hits
+        # max rows per extension program: big programs amortize the
+        # continuation rounds and per-execution runtime overhead; actual
+        # program size is pow2-bucketed to the strand's hit count
+        # (dispatch_chunk) so small workloads keep small programs.
+        # Upper bound: the row-gather kernel prefetches its (B,) int32
+        # starts into SMEM (1 MB on v5e), so B <= 2^17.
         self.HBUF = HBUF
+        # live-row capacity of one continuation round (extend_fused
+        # ._run_tail); scheduling-only, results are exact for any value
+        self.CONT = int(os.environ.get("SEGALIGN_CONT", "0")) or 8192
         # global candidate-compaction width per chunk-strand: all programs'
         # candidates are packed into one (CBUF, 9) device block before D2H
         # (_pack_compact); the fetch is bucketed by the true candidate
@@ -271,7 +280,7 @@ class DeviceAligner:
         self.twophase = twophase
         # continuation window width of the fused extension program: rows
         # surviving the first window are long extensions, so wider windows
-        # amortize loop and DMA-issue overheads (see extend_fused._run_dir)
+        # amortize loop and DMA-issue overheads (see extend_fused._run_tail)
         self.W_CONT = int(os.environ.get("SEGALIGN_WCONT", "0")) or 2048
         # the extender gathers slices up to max(window, W_CONT) wide either
         # side of each anchor; padding must cover the farthest reach
@@ -317,21 +326,20 @@ class DeviceAligner:
         self._q_rc_host = None
         self._dummy_fin_cache = None
 
-    def _dummy_fin(self):
+    def _dummy_fin(self, size: int):
         """All-invalid extension-result fields used to pad the program
         list of _pack_compact to a power-of-two size class."""
         if self._dummy_fin_cache is None:
-            HBUF = self.HBUF
-            z = jnp.zeros((HBUF,), jnp.int32)
-            self._dummy_fin_cache = dict(
-                candidate=jax.device_put(jnp.zeros((HBUF,), bool),
-                                         self.device),
-                rs=z, qs=z, length=z, total=z,
-                counts=jnp.zeros((HBUF, 4), jnp.int32))
-            self._dummy_fin_cache = {
+            self._dummy_fin_cache = {}
+        if size not in self._dummy_fin_cache:
+            z = jnp.zeros((size,), jnp.int32)
+            self._dummy_fin_cache[size] = {
                 k: jax.device_put(v, self.device)
-                for k, v in self._dummy_fin_cache.items()}
-        return self._dummy_fin_cache
+                for k, v in dict(
+                    candidate=jnp.zeros((size,), bool),
+                    rs=z, qs=z, length=z, total=z,
+                    counts=jnp.zeros((size, 4), jnp.int32)).items()}
+        return self._dummy_fin_cache[size]
 
     def _warm_fetch_paths(self):
         """Compile the candidate-fetch slice executables up front: a remote
@@ -485,15 +493,18 @@ class DeviceAligner:
             return empty
 
         q_pad = self.q_rc if rev else self.q_fw
-        HBUF = self.HBUF
+        # pow2-bucketed program size: one executable per size CLASS (a
+        # remote AOT compile costs ~10s+); big strands use HBUF-row
+        # programs, small workloads stay small
+        B_prog = min(self.HBUF, 1 << max(12, (n - 1).bit_length()))
         fins = []
-        for g0 in range(0, n, HBUF):
+        for g0 in range(0, n, B_prog):
             t0 = time.time()
-            g1 = min(g0 + HBUF, n)
+            g1 = min(g0 + B_prog, n)
             m = g1 - g0
-            if m < HBUF:
-                buf_r = np.zeros(HBUF, np.int32)
-                buf_q = np.zeros(HBUF, np.int32)
+            if m < B_prog:
+                buf_r = np.zeros(B_prog, np.int32)
+                buf_q = np.zeros(B_prog, np.int32)
                 buf_r[:m] = ref_loc[g0:g1]
                 buf_q[:m] = query_loc[g0:g1]
             else:
@@ -506,7 +517,7 @@ class DeviceAligner:
             fin = extend_fields_program(
                 self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
-                pad=self.pad, W=self.ext_window,
+                pad=self.pad, W=self.ext_window, CONT=self.CONT,
                 engine=self.engine, W_CONT=self.W_CONT)
             _dbg_sync("extend", fin["candidate"])
             fins.append(fin)
@@ -518,7 +529,7 @@ class DeviceAligner:
         # compile through the axon tunnel)
         P = len(fins)
         p_pad = 1 << (P - 1).bit_length()
-        fins_padded = fins + [self._dummy_fin()] * (p_pad - P)
+        fins_padded = fins + [self._dummy_fin(B_prog)] * (p_pad - P)
         total, out = _pack_compact(fins_padded, TBUF=self.CBUF)
         tm.add("pack", time.time() - t0)
         tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
