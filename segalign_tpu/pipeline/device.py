@@ -246,7 +246,7 @@ class DeviceAligner:
                  xdrop, hspthresh, noentropy, chunk_size,
                  max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 17,
                  B: int = 1 << 14, W: int = 128, rm_mode: bool = False,
-                 twophase: bool = True, window: int = 512, device=None,
+                 twophase: bool = True, window: int = 256, device=None,
                  CBUF: int = 0, use_pallas: Optional[bool] = None):
         self.shape_pos = tuple(shape_pos)
         self.seed_size = seed_size
@@ -267,7 +267,7 @@ class DeviceAligner:
         self.HBUF = HBUF
         # live-row capacity of one continuation round (extend_fused
         # ._run_tail); scheduling-only, results are exact for any value
-        self.CONT = int(os.environ.get("SEGALIGN_CONT", "0")) or 8192
+        self.CONT = int(os.environ.get("SEGALIGN_CONT", "0")) or 4096
         # global candidate-compaction width per chunk-strand: all programs'
         # candidates are packed into one (CBUF, 9) device block before D2H
         # (_pack_compact); the fetch is bucketed by the true candidate
@@ -286,7 +286,10 @@ class DeviceAligner:
         # side of each anchor; padding must cover the farthest reach
         self.pad = max(W, window, self.W_CONT) if twophase else W
         # first-window width of the single-program extension engine
-        self.ext_window = window
+        # (SEGALIGN_WINDOW overrides; any width is exact — window
+        # decomposition independence is property-tested)
+        self.ext_window = (int(os.environ.get("SEGALIGN_WINDOW", "0"))
+                           or window)
         self.rm_mode = rm_mode
         if device is None:
             platform = os.environ.get("SEGALIGN_DEVICES") or None
