@@ -282,6 +282,8 @@ class DeviceAligner:
         # surviving the first window are long extensions, so wider windows
         # amortize loop and DMA-issue overheads (see extend_fused._run_tail)
         self.W_CONT = int(os.environ.get("SEGALIGN_WCONT", "0")) or 2048
+        # continuation window steps per while_loop iteration
+        self.UNROLL = int(os.environ.get("SEGALIGN_UNROLL", "0")) or 4
         # the extender gathers slices up to max(window, W_CONT) wide either
         # side of each anchor; padding must cover the farthest reach
         self.pad = max(W, window, self.W_CONT) if twophase else W
@@ -521,7 +523,8 @@ class DeviceAligner:
                 self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
                 pad=self.pad, W=self.ext_window, CONT=self.CONT,
-                engine=self.engine, W_CONT=self.W_CONT)
+                engine=self.engine, W_CONT=self.W_CONT,
+                UNROLL=self.UNROLL)
             _dbg_sync("extend", fin["candidate"])
             fins.append(fin)
             tm.add("extend", time.time() - t0)
