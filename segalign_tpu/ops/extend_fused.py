@@ -91,14 +91,19 @@ def _step(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop, ref_len,
 
 
 def _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
-               xdrop, ref_len, query_len, *, pad, Wc, UNROLL, left, engine):
+               xdrop, ref_len, query_len, *, pad, Wc, UNROLL, left, engine,
+               stop=0):
     """Continuation while_loop: UNROLL window steps of width Wc per
     iteration. The data-dependent loop condition serializes the device
     pipeline (~1 ms/iteration measured on v5e via this host link), so each
     iteration advances several windows; overshooting a finished batch is
-    exact (steps are no-ops for done rows)."""
+    exact (steps are no-ops for done rows).
+
+    Runs while more than `stop` rows are alive; returns (tile, state,
+    n_alive) so a caller can recompact the survivors into a smaller batch
+    (_cont_cascade)."""
     def cond(c):
-        return c[2] > 0
+        return c[2] > stop
 
     def body(c):
         tile, s, na = c
@@ -109,8 +114,54 @@ def _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
             tile = tile + Wc
         return tile, s, na
 
-    _, cst, _ = jax.lax.while_loop(cond, body, (tile0, cst, n_alive))
-    return cst
+    return jax.lax.while_loop(cond, body, (tile0, cst, n_alive))
+
+
+def _cont_cascade(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
+                  xdrop, ref_len, query_len, *, pad, Wc, UNROLL, left,
+                  engine, sizes):
+    """Run a cohort to completion through a cascade of shrinking batches.
+
+    Window steps cost batch-linear work whether rows are alive or done;
+    long extensions (tens of kb) keep only a handful of rows alive after
+    the first few windows. So: step the full cohort while more than
+    sizes[0] rows live, compact the survivors into a sizes[0]-row batch
+    (they all sit at the same tile), recurse. Scheduling only — each
+    row's extension is independent, so results are bit-identical. The
+    deep tail of an extension then runs at sizes[-1]-row cost instead of
+    the full cohort's."""
+    if not sizes:
+        _, cst, _ = _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0,
+                               n_alive, sub_flat, xdrop, ref_len,
+                               query_len, pad=pad, Wc=Wc, UNROLL=UNROLL,
+                               left=left, engine=engine)
+        return cst
+    nxt = sizes[0]
+    tile, cst, na = _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0,
+                               n_alive, sub_flat, xdrop, ref_len,
+                               query_len, pad=pad, Wc=Wc, UNROLL=UNROLL,
+                               left=left, engine=engine, stop=nxt)
+    order = jnp.argsort(cst["done"], stable=True)
+    inv = jnp.argsort(order, stable=True)
+    prefix = order[:nxt]
+    take = lambda a: jnp.take(a, prefix, axis=0)
+    sst = {kk: take(cst[kk]) for kk in _STATE}
+    s_na = jnp.sum(jnp.logical_not(sst["done"]).astype(jnp.int32))
+    sst = _cont_cascade(seq_r, seq_q, take(c_lr), take(c_lq), sst, tile,
+                        s_na, sub_flat, xdrop, ref_len, query_len,
+                        pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
+                        engine=engine, sizes=sizes[1:])
+
+    def merge(c, full):
+        rest = jnp.take(full, order[nxt:], axis=0)
+        return jnp.take(jnp.concatenate([c, rest], axis=0), inv, axis=0)
+
+    return {kk: merge(sst[kk], cst[kk]) for kk in _STATE}
+
+
+def _cascade_sizes(CONT):
+    """Shrinking cohort sizes: CONT/4 and CONT/16 (floor 128)."""
+    return tuple(s for s in (CONT // 4, CONT // 16) if s >= 128)
 
 
 def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
@@ -161,11 +212,11 @@ def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
     Wc = W_CONT or W
     B = loc_r.shape[0]
     if B <= CONT:
-        # batch already fits the continuation width: no compaction
-        return _cont_loop(seq_r, seq_q, loc_r, loc_q, st, jnp.int32(W),
-                          n_alive, sub_flat, xdrop, ref_len, query_len,
-                          pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
-                          engine=engine)
+        # batch already fits the continuation width: no initial compaction
+        return _cont_cascade(seq_r, seq_q, loc_r, loc_q, st, jnp.int32(W),
+                             n_alive, sub_flat, xdrop, ref_len, query_len,
+                             pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
+                             engine=engine, sizes=_cascade_sizes(B))
 
     # graduated rounds: while any rows live, compact the first CONT of
     # them to the front, run them to completion at width Wc, merge back.
@@ -185,10 +236,10 @@ def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
         c_lr, c_lq = take(loc_r), take(loc_q)
         cst = {kk: take(st[kk]) for kk in _STATE}
         cohort = jnp.sum(jnp.logical_not(cst["done"]).astype(jnp.int32))
-        cst = _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, jnp.int32(W),
-                         cohort, sub_flat, xdrop, ref_len, query_len,
-                         pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
-                         engine=engine)
+        cst = _cont_cascade(seq_r, seq_q, c_lr, c_lq, cst, jnp.int32(W),
+                            cohort, sub_flat, xdrop, ref_len, query_len,
+                            pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
+                            engine=engine, sizes=_cascade_sizes(CONT))
 
         # merge back (sorted-space concat then unsort; gather-only)
         def merge(c, full):
