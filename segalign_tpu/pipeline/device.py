@@ -557,9 +557,12 @@ class DeviceAligner:
         if total > out.shape[0]:
             # rare: more candidates than the compaction buffer — re-run
             # only the (cheap) compaction over the retained extension
-            # results at an escalated width; no re-extension
-            _, out = _pack_compact(p.fins, TBUF=_bucket_for(
-                total, sum(f["candidate"].shape[0] for f in p.fins)))
+            # results at a snug pow2-escalated width (NOT the full
+            # P x B_prog width: the escalated fetch below is sized by
+            # out.shape[0]); no re-extension
+            cap = sum(f["candidate"].shape[0] for f in p.fins)
+            _, out = _pack_compact(
+                p.fins, TBUF=min(1 << (total - 1).bit_length(), cap))
             tm.add("recompact", time.time() - t0)
         if total == 0:
             tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev}")
