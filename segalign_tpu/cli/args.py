@@ -50,6 +50,11 @@ def build_pairwise_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_hits", type=int, default=0,
                    help="iteration-batch size (reference: 4194304 per GB of "
                         "GPU memory); affects dedup batch boundaries")
+    p.add_argument("--sharded_table", action="store_true",
+                   help="shard the seed position table by k-mer range over "
+                        "the device mesh (all_to_all seed routing) instead "
+                        "of replicating it per device; for reference "
+                        "blocks whose table exceeds one chip's HBM")
     p.add_argument("--gapped_mode", default="auto",
                    choices=["auto", "delegate", "native"],
                    help="gapped stage: delegate to lastz (byte-compatible "
@@ -81,7 +86,7 @@ def pairwise_config_from_args(a) -> Config:
         wga_chunk_size=a.wga_chunk_size,
         lastz_interval_size=a.lastz_interval_size,
         seq_block_size=a.seq_block_size, num_devices=a.num_devices,
-        max_hits=a.max_hits, debug=a.debug)
+        max_hits=a.max_hits, sharded_table=a.sharded_table, debug=a.debug)
 
 
 def build_rm_parser() -> argparse.ArgumentParser:

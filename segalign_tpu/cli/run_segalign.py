@@ -7,7 +7,11 @@ contract, no text channel needed in-process), the FAILURE check, and the
 sort -V merge.
 
 Exit codes follow the reference taxonomy: 4 file not found, 5 permissions,
-6 LASTZ failure, 7 unreadable input.
+6 LASTZ failure, 7 unreadable input; 8 (ours) 2bit conversion failed — the
+reference driver has no code for this, it dies via `set -e` with
+faToTwoBit's own status (scripts/run_segalign:15,100-101). Codes 9-14
+(DRAM cap, CUDA errors) have no analog here: arenas grow dynamically and
+device errors surface as JAX exceptions.
 
 Deviation (documented): with --nogapped and --output, the reference driver
 discards all results ("No alignment generated"); we merge the tmp*.segments
@@ -71,10 +75,14 @@ def main(argv=None) -> int:
                       "--nogapped", file=sys.stderr)
                 return 4
             print("\nConverting fasta files to 2bit format", file=sys.stderr)
-            subprocess.check_call(["faToTwoBit", ref_path,
-                                   os.path.join(data_dir, "ref.2bit")])
-            subprocess.check_call(["faToTwoBit", query_path,
-                                   os.path.join(data_dir, "query.2bit")])
+            try:
+                subprocess.check_call(["faToTwoBit", ref_path,
+                                       os.path.join(data_dir, "ref.2bit")])
+                subprocess.check_call(["faToTwoBit", query_path,
+                                       os.path.join(data_dir, "query.2bit")])
+            except (subprocess.CalledProcessError, OSError) as e:
+                print(f"error: 2bit conversion failed: {e}", file=sys.stderr)
+                return 8
 
         args.target, args.query, args.data_folder = (ref_path, query_path,
                                                      data_dir)

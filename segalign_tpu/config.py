@@ -186,6 +186,8 @@ class Config:
     use_pallas: bool = True     # Pallas extension engine on TPU (False => XLA step)
     device_hbuf: int = 0        # hit-buffer slots per device dispatch (0=auto)
     device_batch: int = 0       # extension sub-batch rows (0=auto)
+    sharded_table: bool = False  # k-mer-sharded seed table over the device
+    #                              mesh (v2 scale-out; parallel/sharded.py)
 
     seed: SeedConfig = None
     sub_mat: np.ndarray = None

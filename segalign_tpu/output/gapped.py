@@ -6,8 +6,8 @@ lines emitted on stdout, capped at nproc concurrent processes
 executor as a Python process pool, plus the post-hoc FAILURE check
 (:124-131).
 
-A native (non-LASTZ) gapped path lives in segalign_tpu/ops/gapped_extend.py;
-delegation remains the byte-compatibility mode.
+A native (non-LASTZ) gapped path lives in segalign_tpu/output/native_gapped.py
+(DP core in native/gapped.cpp); delegation remains the byte-compatibility mode.
 """
 
 from __future__ import annotations

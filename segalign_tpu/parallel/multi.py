@@ -28,6 +28,11 @@ from ..index.seed_table import build_seed_table
 from ..pipeline.device import DeviceAligner, ChunkResult
 
 
+# One process-wide lock serializing first-compilations across device worker
+# threads (see MultiDeviceAligner.map_chunks).
+_COMPILE_LOCK = threading.Lock()
+
+
 @dataclass
 class ChunkWork:
     chunk_start: int
@@ -89,16 +94,35 @@ class MultiDeviceAligner:
         def worker(ai: int, aligner: DeviceAligner):
             pend: List[tuple] = []  # (i, w, PendingChunk)
             pipelined = aligner._native_seeder is not None
+            cur: Optional[tuple] = None  # (i, w) being dispatched right now
+            first = True
             try:
                 while True:
                     try:
-                        i, w = q.get_nowait()
+                        cur = q.get_nowait()
                     except queue.Empty:
+                        cur = None
                         break
+                    i, w = cur
                     if pipelined:
+                        # Serialize each worker's FIRST chunk end-to-end:
+                        # concurrent first-compiles from N threads crash
+                        # XLA's compiler in this environment (round-2
+                        # SIGSEGV in backend_compile_and_load); after the
+                        # warmup every executable is cached and the
+                        # threads run free.
+                        if first:
+                            with _COMPILE_LOCK:
+                                results[i] = aligner.seed_and_filter(
+                                    w.chunk_start, w.chunk_end, w.rev,
+                                    window=w.window)
+                            first = False
+                            cur = None
+                            continue
                         pend.append((i, w, aligner.dispatch_chunk(
                             w.chunk_start, w.chunk_end, w.rev,
                             window=w.window)))
+                        cur = None
                         if len(pend) > depth:
                             j, _, pd = pend.pop(0)
                             results[j] = aligner.finish_chunk(pd)
@@ -106,6 +130,7 @@ class MultiDeviceAligner:
                         results[i] = aligner.seed_and_filter(
                             w.chunk_start, w.chunk_end, w.rev,
                             window=w.window)
+                        cur = None
                 while pend:
                     j, _, pd = pend.pop(0)
                     results[j] = aligner.finish_chunk(pd)
@@ -116,8 +141,8 @@ class MultiDeviceAligner:
                 for j, wj, _ in pend:
                     if results[j] is None:
                         q.put((j, wj))
-                if "i" in locals() and results[i] is None:
-                    q.put((i, w))
+                if cur is not None and results[cur[0]] is None:
+                    q.put(cur)
 
         threads = [threading.Thread(target=worker, args=(ai, a))
                    for ai, a in enumerate(self.aligners)]

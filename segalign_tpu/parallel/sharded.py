@@ -111,8 +111,8 @@ def make_sharded_extender(mesh, *, n_shards, kmer_size, seed_size,
 
     Returns fn(ref_pad, query_pad, index_shards, pos_shards, sub_flat,
                chunk_start, chunk_len, ref_len, query_len, max_hits)
-        -> (num_hits_total, cand_counts (S,), packed (S*CCAP, 10),
-            overflow int32)
+        -> (num_hits_total, num_seeds_total, cand_counts (S,),
+            packed (S*CCAP, 10), overflow int32)
     packed rows: (row index within shard, rs, qs, length, total,
     counts[4], batch_id); only the first cand_counts[s] rows of each shard
     slice are meaningful.
@@ -263,19 +263,170 @@ def make_sharded_extender(mesh, *, n_shards, kmer_size, seed_size,
 
         # 5. gather candidates + stats
         total_hits = jax.lax.psum(num_hits, axis)
+        total_seeds = jax.lax.psum(
+            jnp.sum(valid.astype(jnp.int32)), axis)
         all_counts = jax.lax.all_gather(n_c, axis)
         all_packed = jax.lax.all_gather(packed, axis, axis=0, tiled=True)
         any_overflow = jax.lax.psum(overflow.astype(jnp.int32), axis)
-        return total_hits, all_counts, all_packed, any_overflow
+        return total_hits, total_seeds, all_counts, all_packed, any_overflow
 
     rep = P()
     shd = P(axis)
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(rep, rep, shd, shd, rep, rep, rep, rep, rep, rep),
-        out_specs=(rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep, rep),
         check_rep=False)
     return jax.jit(fn)
+
+
+class ShardedAligner:
+    """Production wrapper: the MultiDeviceAligner interface over the
+    sharded-table pipeline (CLI flag --sharded_table).
+
+    Holds the k-mer-sharded table + replicated sequence blocks on an
+    S-device mesh and runs every chunk through make_sharded_extender.
+    Capacity overflow (seed routing, hit, candidate, or batch-boundary
+    buffers) is detected by the program and handled here by rebuilding the
+    extender with 4x capacities and re-running the chunk — the escalation
+    analog of the reference's fixed MAX_HITS batching
+    (/root/reference/src/seed_filter.cu:718-745).
+
+    Pairwise only (no RM window support): the RM path replicates its
+    (single-genome) table, which by construction fits one device.
+    """
+
+    def __init__(self, *, num_devices: int = -1, devices=None, shape_pos,
+                 seed_size, transition, step, sub_mat, xdrop, hspthresh,
+                 noentropy, chunk_size, max_hits: int = 0, W: int = 0,
+                 use_pallas=None, **_ignored):
+        import os
+        from jax.sharding import Mesh
+        if devices is None:
+            platform = os.environ.get("SEGALIGN_DEVICES") or None
+            devices = jax.devices(platform)
+            if num_devices > 0:
+                devices = devices[:num_devices]
+        S = 1 << (len(devices).bit_length() - 1)  # power-of-two shards
+        if S < 2:
+            raise ValueError("--sharded_table needs >= 2 devices")
+        self.devices = list(devices[:S])
+        self.mesh = Mesh(np.array(self.devices), axis_names=("shard",))
+        self.S = S
+        self.shape_pos = tuple(shape_pos)
+        self.kmer_size = len(shape_pos)
+        self.seed_size = seed_size
+        self.transition = transition
+        self.step = step
+        self.xdrop = xdrop
+        self.hspthresh = hspthresh
+        self.noentropy = noentropy
+        self.chunk_cap = -(-chunk_size // S) * S
+        self.max_hits = max_hits or (4194304 * 16)
+        on_tpu = self.devices[0].platform == "tpu"
+        if use_pallas is None:
+            use_pallas = on_tpu
+        self.engine = ("pallas" if use_pallas and on_tpu else
+                       "pallas_interpret" if use_pallas else "xla")
+        self.W = W or (256 if self.engine.startswith("pallas") else 128)
+        self.pad = max(self.W, 512)
+        self.sub_flat = np.ascontiguousarray(
+            np.asarray(sub_mat).reshape(-1), np.int32)
+        nvar = 1 + self.kmer_size if transition else 1
+        nloc = self.chunk_cap // S * nvar
+        self._caps = (max(4096, 1 << (2 * nloc // S - 1).bit_length()),
+                      1 << 13, 1 << 12)  # (CAP, HCAP, CCAP)
+        self._ext_cache = {}
+        self._rep_sharding = None
+        self.ref_pad = None
+        self.q_fw = None
+        self.q_rc = None
+        self.index_shards = None
+        self.pos_shards = None
+        self.ref_len = 0
+        self.q_len = 0
+
+    @property
+    def num_devices(self) -> int:
+        return self.S
+
+    def _replicate(self, arr):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self._rep_sharding is None:
+            self._rep_sharding = NamedSharding(self.mesh, P())
+        return jax.device_put(arr, self._rep_sharding)
+
+    def _shard0(self, arr):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(arr, NamedSharding(self.mesh, P("shard")))
+
+    def _pad_seq(self, codes: np.ndarray) -> np.ndarray:
+        from ..ops.extend import pad_sequence
+        if self.engine.startswith("pallas"):
+            from ..ops.extend_pallas import awin_for
+            return pad_sequence(codes, self.pad, self.pad + awin_for(self.W))
+        return pad_sequence(codes, self.pad)
+
+    def set_ref(self, ref_codes: np.ndarray, tables=None):
+        from ..index.seed_table import build_seed_table
+        self.ref_len = len(ref_codes)
+        if tables is None:
+            tables = build_seed_table(ref_codes, self.step, self.shape_pos,
+                                      self.seed_size, self.kmer_size)
+        index_table, pos_table = tables
+        ish, psh = shard_seed_table(index_table, pos_table, self.S)
+        self.index_shards = self._shard0(ish)
+        self.pos_shards = self._shard0(psh)
+        self.ref_pad = self._replicate(self._pad_seq(ref_codes))
+
+    def set_query(self, fw_codes: np.ndarray, rc_codes: np.ndarray):
+        self.q_len = len(fw_codes)
+        self.q_fw = self._replicate(self._pad_seq(fw_codes))
+        self.q_rc = self._replicate(self._pad_seq(rc_codes))
+
+    def _extender(self, caps):
+        key = caps
+        if key not in self._ext_cache:
+            CAP, HCAP, CCAP = caps
+            self._ext_cache[key] = make_sharded_extender(
+                self.mesh, n_shards=self.S, kmer_size=self.kmer_size,
+                seed_size=self.seed_size, shape_pos=self.shape_pos,
+                transition=self.transition, chunk_cap=self.chunk_cap,
+                pad=self.pad, W=self.W, xdrop=self.xdrop,
+                hspthresh=self.hspthresh, CAP=CAP, HCAP=HCAP, CCAP=CCAP,
+                engine=self.engine)
+        return self._ext_cache[key]
+
+    def _run_chunk(self, chunk_start: int, chunk_end: int, rev: bool):
+        import sys
+        from ..pipeline.device import ChunkResult
+        q_pad = self.q_rc if rev else self.q_fw
+        caps = self._caps
+        for attempt in range(6):
+            ext = self._extender(caps)
+            th, ns, counts, packed, ovf = jax.device_get(ext(
+                self.ref_pad, q_pad, self.index_shards, self.pos_shards,
+                self.sub_flat, np.int32(chunk_start),
+                np.int32(chunk_end - chunk_start), np.int32(self.ref_len),
+                np.int32(self.q_len), np.int32(self.max_hits)))
+            if int(ovf) == 0:
+                hsps = finalize_sharded(counts, packed, self.hspthresh,
+                                        self.noentropy)
+                return ChunkResult(hsps, int(th), int(ns))
+            caps = tuple(c * 4 for c in caps)
+            print(f"segalign_tpu: sharded capacity escalation to {caps} "
+                  f"for chunk {chunk_start}:{chunk_end}", file=sys.stderr)
+        raise RuntimeError("sharded-table capacity escalation exhausted")
+
+    def map_chunks(self, work, depth: int = 4):
+        results = []
+        for w in work:
+            if w.window is not None:
+                raise ValueError("--sharded_table does not support the "
+                                 "repeat-masker window restriction")
+            results.append(self._run_chunk(w.chunk_start, w.chunk_end,
+                                           w.rev))
+        return results
 
 
 def finalize_sharded(cand_counts, packed, hspthresh, noentropy):

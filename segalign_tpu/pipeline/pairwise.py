@@ -101,13 +101,18 @@ def run_pairwise(cfg: Config, out_dir: str,
         extra["HBUF"] = cfg.device_hbuf
     if cfg.device_batch:
         extra["B"] = cfg.device_batch
-    aligner = MultiDeviceAligner(
+    aligner_cls = MultiDeviceAligner
+    if cfg.sharded_table:
+        from ..parallel.sharded import ShardedAligner
+        aligner_cls = ShardedAligner
+    aligner = aligner_cls(
         num_devices=cfg.num_devices, devices=devices,
         shape_pos=cfg.seed.shape_pos, seed_size=cfg.seed.size,
         transition=cfg.seed.transition, step=cfg.step, sub_mat=cfg.sub_mat,
         xdrop=cfg.xdrop, hspthresh=cfg.hspthresh, noentropy=cfg.noentropy,
         chunk_size=cfg.wga_chunk_size, **extra)
-    log(f"Using {aligner.num_devices} device(s)")
+    log(f"Using {aligner.num_devices} device(s)"
+        + (" [sharded table]" if cfg.sharded_table else ""))
 
     do_plus = cfg.strand in ("plus", "both")
     do_minus = cfg.strand in ("minus", "both")

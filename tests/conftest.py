@@ -29,6 +29,18 @@ else:
         if p and "axon_site" not in p)
     os.environ["JAX_PLATFORMS"] = "cpu"
     sys.modules.pop("jax_plugins", None)
+    # The axon sitecustomize registers at interpreter start (before this
+    # file runs) when PALLAS_AXON_POOL_IPS is set, and register() force
+    # -updates jax_platforms to "axon,cpu" — env vars alone can't undo
+    # that. Pin the config back to cpu-only so the tunneled chip is never
+    # initialized by a test process (the tunnel is single-client; a test
+    # touching it crashes concurrent TPU jobs), and scrub the trigger
+    # vars so pytest-spawned subprocesses never register at all.
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        os.environ["SEGALIGN_AXON_POOL_IPS"] = \
+            os.environ.pop("PALLAS_AXON_POOL_IPS")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

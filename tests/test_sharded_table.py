@@ -85,12 +85,13 @@ def test_sharded_matches_replicated(mesh):
         q_pad = pad_sequence(qarr, pad)
         for (cs, ce) in chunk_interval(0, n - sc.size, CHUNK):
             want = al.seed_and_filter(cs, ce, rev)
-            th, counts, packed, ovf = jax.device_get(ext(
+            th, ns, counts, packed, ovf = jax.device_get(ext(
                 ref_pad, q_pad, index_shards, pos_shards, sub_flat,
                 np.int32(cs), np.int32(ce - cs), np.int32(n), np.int32(n),
                 np.int32(10**9)))
             assert int(ovf) == 0
             assert int(th) == want.num_hits, (cs, ce, rev)
+            assert int(ns) == want.num_seeds, (cs, ce, rev)
             got = finalize_sharded(counts, packed, hspthresh,
                                    noentropy=False)
             np.testing.assert_array_equal(
@@ -114,7 +115,7 @@ def test_sharded_overflow_detected(mesh):
         shape_pos=sc.shape_pos, transition=sc.transition, chunk_cap=512,
         pad=512, W=128, xdrop=910, hspthresh=1500,
         CAP=8, HCAP=4096, CCAP=2048)
-    _, _, _, ovf = jax.device_get(ext(
+    _, _, _, _, ovf = jax.device_get(ext(
         pad_sequence(ref, 512), pad_sequence(query, 512), index_shards,
         pos_shards, np.ascontiguousarray(sub.reshape(-1), np.int32),
         np.int32(0), np.int32(512), np.int32(n), np.int32(n),

@@ -84,6 +84,10 @@ def test_tpu_chunk_smoke():
     axon = env.pop("SEGALIGN_AXON_SITE", "")
     if axon:
         env["PYTHONPATH"] = env["PYTHONPATH"] + os.pathsep + axon
+    if env.get("SEGALIGN_AXON_POOL_IPS"):
+        # conftest scrubs the sitecustomize trigger; restore for this
+        # subprocess so the plugin registers the real chip
+        env["PALLAS_AXON_POOL_IPS"] = env.pop("SEGALIGN_AXON_POOL_IPS")
     r = subprocess.run([sys.executable, "-c", SCRIPT], env=env,
                        capture_output=True, text=True, timeout=1500)
     if r.returncode != 0:
