@@ -164,7 +164,7 @@ def tiled_gather_sum(seq2d, gbase, starts, *, BR, G2, TILE_ROWS,
             grid=(ngroups,),
             in_specs=[pl.BlockSpec((BR, 1), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((BR, 128), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((2, TILE_ROWS, 128), jnp.uint8),
@@ -181,7 +181,7 @@ def tiled_gather_sum(seq2d, gbase, starts, *, BR, G2, TILE_ROWS,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ngroups,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BR, 128), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, TILE_ROWS, 128), jnp.uint8),

@@ -24,12 +24,18 @@ _lib = None
 
 def _build() -> bool:
     try:
-        subprocess.check_call(
+        r = subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              *_SRCS, "-o", _LIB],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            print("segalign_tpu: native build FAILED:\n"
+                  + r.stderr[-2000:], file=sys.stderr)
+            return False
         return True
-    except Exception:
+    except Exception as e:
+        print(f"segalign_tpu: native build unavailable ({e})",
+              file=sys.stderr)
         return False
 
 
@@ -77,6 +83,11 @@ def get_lib():
             u8p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p]
         lib.build_seed_table_native.restype = ctypes.c_int64
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.plan_tiled_sort.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u64p, u64p, i32p]
+        lib.plan_tiled_sort.restype = ctypes.c_int64
         _lib = lib
         return _lib
     except Exception as e:  # pragma: no cover
@@ -202,6 +213,38 @@ def gapped_extend_native(ref_codes, query_codes, sub8x8, gap_open,
         return None
     return (int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]),
             int(meta[4]), bytes(ops[:n]))
+
+
+_PLAN_SCRATCH = [np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+                 np.zeros(0, np.int32)]
+
+
+def plan_tiled_sort_native(ref_loc: np.ndarray, query_loc: np.ndarray,
+                           qbucket: int, nthreads: int = 0):
+    """Stable (query_loc // qbucket, ref_loc) sort of hit indices.
+    Returns the order array or None when the native lib is unavailable.
+    Scratch buffers are module-cached: fresh large allocations page-fault
+    pathologically on this VM's lazily-backed memory."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ref_loc)
+    if n == 0:
+        return np.empty(0, np.int32)
+    if len(_PLAN_SCRATCH[0]) < n:
+        cap = max(n, 2 * len(_PLAN_SCRATCH[0]))
+        _PLAN_SCRATCH[0] = np.zeros(cap, np.uint64)
+        _PLAN_SCRATCH[1] = np.zeros(cap, np.uint64)
+        _PLAN_SCRATCH[2] = np.zeros(cap, np.int32)
+    keys, tmp, order = _PLAN_SCRATCH
+    ref_loc = np.ascontiguousarray(ref_loc, np.int32)
+    query_loc = np.ascontiguousarray(query_loc, np.int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.plan_tiled_sort(_as_i32p(ref_loc), _as_i32p(query_loc), n,
+                             qbucket, nthreads or (os.cpu_count() or 1),
+                             keys.ctypes.data_as(u64p),
+                             tmp.ctypes.data_as(u64p), _as_i32p(order))
+    return order[:n].copy() if rc == 0 else None
 
 
 def build_seed_table_fast(ref_codes, step: int, shape_pos, seed_size: int,

@@ -352,3 +352,94 @@ int64_t build_seed_table_native(const uint8_t* codes, int64_t ref_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Tiled-extension plan sort (round-3 engine, ops/extend_tiled.py): order
+// hits by (query bucket, ref position) so consecutive hits share reference
+// AND query tiles. Counting sort by bucket, then per-bucket LSD radix over
+// packed (ref_loc << 32 | idx) u64 keys — stable, ~10x numpy's int64
+// argsort at 775k hits. The grouping/padding passes stay in numpy
+// (vectorized, cheap).
+
+namespace {
+
+static void radix_sort_u64(uint64_t* a, uint64_t* tmp, int64_t n,
+                           int shift_hi) {
+    // LSD over bits [32, 32+shift_hi) in 11-bit digits (idx bits below 32
+    // keep stability for equal keys automatically: they start in input
+    // order and LSD radix is stable)
+    constexpr int DB = 11;
+    constexpr int64_t R = 1 << DB;
+    int passes = (shift_hi + DB - 1) / DB;
+    for (int p = 0; p < passes; p++) {
+        int sh = 32 + p * DB;
+        int64_t hist[R] = {0};
+        for (int64_t i = 0; i < n; i++) hist[(a[i] >> sh) & (R - 1)]++;
+        int64_t sum = 0;
+        for (int64_t d = 0; d < R; d++) {
+            int64_t c = hist[d];
+            hist[d] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; i++)
+            tmp[hist[(a[i] >> sh) & (R - 1)]++] = a[i];
+        std::swap(a, tmp);
+    }
+    if (passes & 1) std::memcpy(tmp, a, size_t(n) * 8);  // result -> caller's a
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stable sort of hit indices by (query_loc / qbucket, ref_loc).
+// order_out[n]; keys/tmp are caller-owned u64[n] scratch (reused across
+// calls — fresh allocations page-fault pathologically on this VM).
+int64_t plan_tiled_sort(const int32_t* rl, const int32_t* ql, int64_t n,
+                        int64_t qbucket, int64_t nthreads,
+                        uint64_t* keys, uint64_t* tmp, int32_t* order_out) {
+    if (n <= 0) return 0;
+    int64_t nbuckets = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t b = int32_t(ql[i] / qbucket);
+        if (b + 1 > nbuckets) nbuckets = b + 1;
+    }
+    std::vector<int64_t> off(size_t(nbuckets) + 1, 0);
+    for (int64_t i = 0; i < n; i++) off[size_t(ql[i] / qbucket) + 1]++;
+    for (int64_t b = 0; b < nbuckets; b++) off[size_t(b) + 1] += off[size_t(b)];
+    {
+        std::vector<int64_t> cur(off.begin(), off.end() - 1);
+        for (int64_t i = 0; i < n; i++) {
+            int64_t d = cur[size_t(ql[i] / qbucket)]++;
+            keys[size_t(d)] = (uint64_t(uint32_t(rl[i])) << 32)
+                              | uint64_t(uint32_t(i));
+        }
+    }
+    // per-bucket radix (threaded over buckets)
+    int nt = int(std::min<int64_t>(std::max<int64_t>(nthreads, 1), 16));
+    std::vector<std::thread> ths;
+    std::vector<int64_t> bnext(1, 0);
+    auto work = [&](int t) {
+        for (int64_t b = t; b < nbuckets; b += nt) {
+            int64_t lo = off[size_t(b)], hi = off[size_t(b) + 1];
+            int64_t m = hi - lo;
+            if (m <= 1) continue;
+            if (m < 512) {
+                std::sort(keys + lo, keys + hi);
+            } else {
+                radix_sort_u64(keys + lo, tmp + lo, m, 31);
+            }
+        }
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        for (int t = 0; t < nt; t++) ths.emplace_back(work, t);
+        for (auto& th : ths) th.join();
+    }
+    for (int64_t i = 0; i < n; i++)
+        order_out[i] = int32_t(keys[size_t(i)] & 0xffffffffu);
+    return 0;
+}
+
+}  // extern "C"

@@ -316,6 +316,61 @@ def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
 @functools.partial(jax.jit,
                    static_argnames=("pad", "W", "CONT", "engine",
                                     "W_CONT", "UNROLL"))
+def extend_fields_program_2d(ref2d, q2d, ref_loc, query_loc, m, sub_flat,
+                             xdrop, hspthresh, ref_len, query_len, *,
+                             pad: int, W: int = 256, CONT: int = 4096,
+                             engine: str = "xla", W_CONT: int = 0,
+                             UNROLL: int = 4):
+    """extend_fields_program over (rows, 128)-shaped padded sequences
+    (ops/extend_tiled.pad_sequence_2d). The reshape is a free bitcast
+    inside jit, so 2-D storage serves every engine."""
+    return extend_fields_program.__wrapped__(
+        ref2d.reshape(-1), q2d.reshape(-1), ref_loc, query_loc, m,
+        sub_flat, xdrop, hspthresh, ref_len, query_len, pad=pad, W=W,
+        CONT=CONT, engine=engine, W_CONT=W_CONT, UNROLL=UNROLL)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad", "W", "CONT", "engine", "W_CONT",
+                                    "UNROLL", "BR", "TR", "TQ"))
+def extend_fields_tiled(ref2d, q2d, rbase, qbase, rl, ql, valid, orig,
+                        sub_flat, xdrop, hspthresh, ref_len, query_len, *,
+                        pad: int, W: int = 512, CONT: int = 4096,
+                        engine: str = "pallas", W_CONT: int = 0,
+                        UNROLL: int = 4, BR: int = 256, TR: int = 256,
+                        TQ: int = 256):
+    """Tiled-engine analog of extend_fields_program: rows come PLANNED
+    (ops/extend_tiled.plan_tiled_groups order), the first windows run in
+    the fused tile kernel (one r-tile + one q-tile DMA per BR-hit group,
+    MXU one-hot extraction, tall dual scan), and the continuation +
+    finalize reuse the unchanged engine. Returns the raw finalize fields
+    plus the carried original hit index ("orig") for order-restoring
+    compaction."""
+    from .extend_tiled import first_scan_tiled
+    interpret = engine == "pallas_interpret"
+    st_r0, st_l0 = first_scan_tiled(
+        ref2d, q2d, rbase, qbase, rl, ql, valid, sub_flat, xdrop, ref_len,
+        query_len, W=W, pad=pad, BR=BR, TR=TR, TQ=TQ, interpret=interpret)
+    na_r = jnp.sum(jnp.logical_not(st_r0["done"]).astype(jnp.int32))
+    na_l = jnp.sum(jnp.logical_not(st_l0["done"]).astype(jnp.int32))
+    seq_r = ref2d.reshape(-1)
+    seq_q = q2d.reshape(-1)
+    kw = dict(pad=pad, W=W, CONT=CONT, engine=engine, W_CONT=W_CONT,
+              UNROLL=UNROLL)
+    st_r = _run_tail(seq_r, seq_q, rl, ql, st_r0, na_r, sub_flat, xdrop,
+                     ref_len, query_len, left=False, **kw)
+    st_l = _run_tail(seq_r, seq_q, rl, ql, st_l0, na_l, sub_flat, xdrop,
+                     ref_len, query_len, left=True, **kw)
+    fin = _finalize.__wrapped__(valid, rl, ql, st_r["maxv"], st_r["maxp"],
+                                st_l["maxv"], st_l["maxp"],
+                                st_r["counts"] + st_l["counts"], hspthresh)
+    fin["orig"] = orig
+    return fin
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad", "W", "CONT", "engine",
+                                    "W_CONT", "UNROLL"))
 def extend_fields_program(ref_pad, query_pad, ref_loc, query_loc, m,
                           sub_flat, xdrop, hspthresh, ref_len, query_len,
                           *, pad: int, W: int = 256, CONT: int = 4096,

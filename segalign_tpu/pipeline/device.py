@@ -194,12 +194,20 @@ class PendingChunk:
     query_loc: Optional[np.ndarray] = None
 
 
+# sentinel "orig" value for invalid rows: above any real hit index (hits
+# per chunk-strand are far below 2^30)
+ORIG_INVALID = 1 << 30
+
+
 @functools.partial(jax.jit, static_argnames=("TBUF",))
 def _pack_compact(fins, *, TBUF: int):
     """Compact the candidates of ALL per-program extension results into
-    one (TBUF, 9) int32 block: global_row_idx, rs, qs, length, total,
-    counts[4]. Row order (== reference hit order) is preserved by the
-    stable argsort, so the host's logical-batch split stays exact.
+    one (TBUF, 9) int32 block: orig_hit_idx, rs, qs, length, total,
+    counts[4]. Rows may arrive in any order (the tiled engine plans them
+    by tile locality); each fin carries the original hit index in "orig",
+    and the argsort key (orig for candidates, ORIG_INVALID otherwise)
+    restores reference hit order exactly, so the host's logical-batch
+    split stays exact.
 
     The on-device analog of compress_output + the D2H copy
     (/root/reference/src/seed_filter.cu:654-680,788), done once per
@@ -207,15 +215,23 @@ def _pack_compact(fins, *, TBUF: int):
     stack = lambda k: jnp.concatenate([f[k].reshape(len(f[k]), -1)
                                        for f in fins], axis=0)
     cand = jnp.concatenate([f["candidate"] for f in fins])
-    n = cand.shape[0]  # P * HBUF; global row idx == flatten order
+    orig = jnp.concatenate([f["orig"] for f in fins])
+    n = cand.shape[0]
     total = jnp.sum(cand.astype(jnp.int32))
-    perm = jnp.argsort(jnp.logical_not(cand), stable=True)
+    key = jnp.where(cand, orig, ORIG_INVALID)
+    perm = jnp.argsort(key, stable=True)
     sel = perm[:min(TBUF, n)].astype(jnp.int32)
     take = lambda k: jnp.take(stack(k), sel, axis=0)
     out = jnp.concatenate([
-        sel[:, None], take("rs"), take("qs"), take("length"),
-        take("total"), take("counts")], axis=1)
+        jnp.take(orig, sel)[:, None], take("rs"), take("qs"),
+        take("length"), take("total"), take("counts")], axis=1)
     return total, out
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _iota_off(off, *, B: int):
+    """orig indices for an in-order program: off + [0, B)."""
+    return jnp.arange(B, dtype=jnp.int32) + off
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -286,12 +302,26 @@ class DeviceAligner:
         self.UNROLL = int(os.environ.get("SEGALIGN_UNROLL", "0")) or 4
         # the extender gathers slices up to max(window, W_CONT) wide either
         # side of each anchor; padding must cover the farthest reach
-        self.pad = max(W, window, self.W_CONT) if twophase else W
+        # (including the tiled first window, default 512)
+        self.pad = (max(W, window, self.W_CONT, 512) if twophase else W)
         # first-window width of the single-program extension engine
         # (SEGALIGN_WINDOW overrides; any width is exact — window
         # decomposition independence is property-tested)
         self.ext_window = (int(os.environ.get("SEGALIGN_WINDOW", "0"))
                            or window)
+        # tiled first-window engine (ops/extend_tiled): groups of BR hits
+        # ordered by (q bucket, ref pos) share one ref tile + one q tile
+        # DMA; windows extracted via MXU one-hot matmuls. SEGALIGN_TILED
+        # =0 disables, =1 forces (interpret mode off-TPU, tests only).
+        env_tiled = os.environ.get("SEGALIGN_TILED", "")
+        self.tiled_forced = env_tiled == "1"
+        self.tiled = env_tiled != "0"
+        self.TILED_MIN = int(os.environ.get("SEGALIGN_TILED_MIN", "0")) \
+            or 16384
+        self.W_TILED = int(os.environ.get("SEGALIGN_TWINDOW", "0")) or 512
+        self.TROWS = int(os.environ.get("SEGALIGN_TROWS", "0")) or 768
+        self.QBUCKET = int(os.environ.get("SEGALIGN_QBUCKET", "0")) or 94208
+        self.BR_TILED = int(os.environ.get("SEGALIGN_TBR", "0")) or 256
         self.rm_mode = rm_mode
         if device is None:
             platform = os.environ.get("SEGALIGN_DEVICES") or None
@@ -343,7 +373,9 @@ class DeviceAligner:
                 for k, v in dict(
                     candidate=jnp.zeros((size,), bool),
                     rs=z, qs=z, length=z, total=z,
-                    counts=jnp.zeros((size, 4), jnp.int32)).items()}
+                    counts=jnp.zeros((size, 4), jnp.int32),
+                    orig=jnp.full((size,), ORIG_INVALID,
+                                  jnp.int32)).items()}
         return self._dummy_fin_cache[size]
 
     def _warm_fetch_paths(self):
@@ -368,8 +400,20 @@ class DeviceAligner:
         # right_pad covers the Pallas row-gather's aligned-superset DMA
         from ..ops.extend_pallas import awin_for
         aw = awin_for(max(self.ext_window, self.W_CONT))
-        self.ref_pad = jax.device_put(
-            pad_sequence(ref_codes, self.pad, self.pad + aw), self.device)
+        if self._native_seeder is not None:
+            # single 2-D storage: the tiled kernel slices (rows, 128)
+            # tiles; reshape(-1) inside jit is the 1-D view for every
+            # other engine (same memory, no copy)
+            from ..ops.extend_tiled import pad_sequence_2d
+            self.ref_2d = jax.device_put(
+                pad_sequence_2d(ref_codes, self.pad, self.TROWS,
+                                self.W_TILED, extra_right=self.pad + aw),
+                self.device)
+            self.ref_pad = None
+        else:
+            self.ref_pad = jax.device_put(
+                pad_sequence(ref_codes, self.pad, self.pad + aw),
+                self.device)
         if tables is None:
             tables = build_seed_table(
                 ref_codes, self.step, self.shape_pos, self.seed_size,
@@ -392,10 +436,20 @@ class DeviceAligner:
         aw = awin_for(max(self.ext_window, self.W_CONT))
         self.q_len = len(fw_codes)
         rp = max(self.pad, self.chunk_size + self.seed_size + 1) + aw
-        self.q_fw = jax.device_put(pad_sequence(fw_codes, self.pad, rp),
-                                   self.device)
-        self.q_rc = jax.device_put(pad_sequence(rc_codes, self.pad, rp),
-                                   self.device)
+        if self._native_seeder is not None:
+            from ..ops.extend_tiled import pad_sequence_2d
+            mk = lambda c: jax.device_put(
+                pad_sequence_2d(c, self.pad, self.TROWS, self.W_TILED,
+                                extra_right=rp), self.device)
+            self.q2d_fw = mk(fw_codes)
+            self.q2d_rc = mk(rc_codes)
+            self.q_fw = None
+            self.q_rc = None
+        else:
+            self.q_fw = jax.device_put(pad_sequence(fw_codes, self.pad, rp),
+                                       self.device)
+            self.q_rc = jax.device_put(pad_sequence(rc_codes, self.pad, rp),
+                                       self.device)
         self._q_fw_host = np.ascontiguousarray(fw_codes, np.uint8)
         self._q_rc_host = np.ascontiguousarray(rc_codes, np.uint8)
 
@@ -465,7 +519,6 @@ class DeviceAligner:
         (reference-exact); the x-drop extension + candidate compaction run
         on the TPU as ONE program per HBUF subrange (ops/extend_fused).
         Nothing here blocks on the device."""
-        from ..ops.extend_fused import extend_fields_program
         tm = _StageTimer(_TIMING)
         t0 = time.time()
         q_host = self._q_rc_host if rev else self._q_fw_host
@@ -497,7 +550,34 @@ class DeviceAligner:
         if n == 0:
             return empty
 
-        q_pad = self.q_rc if rev else self.q_fw
+        q2d = self.q2d_rc if rev else self.q2d_fw
+        use_tiled = (self.tiled and n >= self.TILED_MIN
+                     and self.engine in ("pallas", "pallas_interpret"))
+        if use_tiled:
+            fins = self._dispatch_tiled(ref_loc, query_loc, q2d, tm)
+        else:
+            fins = self._dispatch_rows(ref_loc, query_loc, q2d, n, tm)
+        t0 = time.time()
+        # pad the program list to a power of two with all-invalid dummies:
+        # _pack_compact then has one executable per size CLASS instead of
+        # one per exact program count (each variant is a ~10 s remote AOT
+        # compile through the axon tunnel)
+        P = len(fins)
+        p_pad = 1 << (P - 1).bit_length()
+        dummy_size = fins[-1]["candidate"].shape[0]
+        fins_padded = fins + [self._dummy_fin(dummy_size)] * (p_pad - P)
+        total, out = _pack_compact(fins_padded, TBUF=self.CBUF)
+        tm.add("pack", time.time() - t0)
+        tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
+                f"hits={num_hits}")
+        return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
+                            num_hits, fins_padded, total, out, seg_ends,
+                            ref_loc, query_loc)
+
+    def _dispatch_rows(self, ref_loc, query_loc, q2d, n, tm):
+        """Row-order extension programs (pre-tiled engine; still used for
+        small workloads and the XLA engine)."""
+        from ..ops.extend_fused import extend_fields_program_2d
         # pow2-bucketed program size: one executable per size CLASS (a
         # remote AOT compile costs ~10s+); big strands use HBUF-row
         # programs, small workloads stay small
@@ -519,30 +599,72 @@ class DeviceAligner:
             d_q = jax.device_put(buf_q, self.device)
             tm.add("h2d", time.time() - t0)
             t0 = time.time()
-            fin = extend_fields_program(
-                self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
+            fin = extend_fields_program_2d(
+                self.ref_2d, q2d, d_r, d_q, m, self.sub_flat,
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
                 pad=self.pad, W=self.ext_window, CONT=self.CONT,
                 engine=self.engine, W_CONT=self.W_CONT,
                 UNROLL=self.UNROLL)
+            fin = dict(fin, orig=_iota_off(np.int32(g0), B=B_prog))
             _dbg_sync("extend", fin["candidate"])
             fins.append(fin)
             tm.add("extend", time.time() - t0)
+        return fins
+
+    def _dispatch_tiled(self, ref_loc, query_loc, q2d, tm):
+        """Tiled-engine extension programs: plan hit groups once per
+        chunk-strand, then one program per <= HBUF planned rows (group
+        -granular split; pow2 group-count classes)."""
+        from ..ops.extend_tiled import plan_tiled_groups
+        from ..ops.extend_fused import extend_fields_tiled
         t0 = time.time()
-        # pad the program list to a power of two with all-invalid dummies:
-        # _pack_compact then has one executable per size CLASS instead of
-        # one per exact program count (each variant is a ~10 s remote AOT
-        # compile through the axon tunnel)
-        P = len(fins)
-        p_pad = 1 << (P - 1).bit_length()
-        fins_padded = fins + [self._dummy_fin(B_prog)] * (p_pad - P)
-        total, out = _pack_compact(fins_padded, TBUF=self.CBUF)
-        tm.add("pack", time.time() - t0)
-        tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
-                f"hits={num_hits}")
-        return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
-                            num_hits, fins_padded, total, out, seg_ends,
-                            ref_loc, query_loc)
+        BR = self.BR_TILED
+        plan = plan_tiled_groups(ref_loc, query_loc, W=self.W_TILED,
+                                 pad=self.pad, BR=BR, trows=self.TROWS,
+                                 qbucket=self.QBUCKET)
+        tm.add("plan", time.time() - t0)
+        ng = plan["ngroups"]
+        GP = max(16, self.HBUF // BR)   # groups per full program
+        fins = []
+        for p0 in range(0, ng, GP):
+            t0 = time.time()
+            p1 = min(p0 + GP, ng)
+            mg = p1 - p0
+            # every program is padded to the FULL group class: one
+            # executable total (each distinct static shape costs a
+            # ~25 s remote AOT compile through the tunnel, and the
+            # compile cache does not survive the process)
+            gpad = GP
+            rows = slice(p0 * BR, p1 * BR)
+            nr = mg * BR
+
+            def padded(a, fill=0, dtype=None):
+                out = np.full(gpad * BR, fill, dtype or a.dtype)
+                out[:nr] = a[rows]
+                return jax.device_put(out, self.device)
+
+            d_rl = padded(plan["rl"])
+            d_ql = padded(plan["ql"])
+            d_valid = padded(plan["valid"])
+            d_orig = padded(plan["orig"], fill=ORIG_INVALID)
+            gb = lambda a: jax.device_put(
+                np.concatenate([a[p0:p1],
+                                np.zeros(gpad - mg, np.int32)]),
+                self.device)
+            d_rbase = gb(plan["rbase"])
+            d_qbase = gb(plan["qbase"])
+            tm.add("h2d", time.time() - t0)
+            t0 = time.time()
+            fin = extend_fields_tiled(
+                self.ref_2d, q2d, d_rbase, d_qbase, d_rl, d_ql, d_valid,
+                d_orig, self.sub_flat, self.xdrop, self.hspthresh,
+                self.ref_len, self.q_len, pad=self.pad, W=self.W_TILED,
+                CONT=self.CONT, engine=self.engine, W_CONT=self.W_CONT,
+                UNROLL=self.UNROLL, BR=BR, TR=self.TROWS, TQ=self.TROWS)
+            _dbg_sync("extend", fin["candidate"])
+            fins.append(fin)
+            tm.add("extend", time.time() - t0)
+        return fins
 
     def finish_chunk(self, p: PendingChunk) -> ChunkResult:
         """Collect a dispatched chunk: D2H of compacted candidates, logical
