@@ -88,6 +88,15 @@ def get_lib():
             i32p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u64p, u64p, i32p]
         lib.plan_tiled_sort.restype = ctypes.c_int64
+        lib.plan_tiled_stage1.argtypes = [
+            i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.plan_tiled_stage1.restype = ctypes.c_int64
+        lib.plan_tiled_fill.argtypes = [
+            i32p, i32p, i32p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, u8p,
+            i32p, i32p]
+        lib.plan_tiled_fill.restype = None
         _lib = lib
         return _lib
     except Exception as e:  # pragma: no cover
@@ -245,6 +254,40 @@ def plan_tiled_sort_native(ref_loc: np.ndarray, query_loc: np.ndarray,
                              keys.ctypes.data_as(u64p),
                              tmp.ctypes.data_as(u64p), _as_i32p(order))
     return order[:n].copy() if rc == 0 else None
+
+
+def plan_tiled_groups_native(ref_loc, query_loc, *, W: int, pad: int,
+                             BR: int, cap: int, qbucket: int):
+    """Full tiled-extension plan in C++ (sort + grouping + padded fill).
+    Same output contract as ops/extend_tiled.plan_tiled_groups; returns
+    None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ref_loc)
+    order = plan_tiled_sort_native(ref_loc, query_loc, qbucket)
+    if order is None:
+        return None
+    ref_loc = np.ascontiguousarray(ref_loc, np.int32)
+    query_loc = np.ascontiguousarray(query_loc, np.int32)
+    gs = np.empty(n + 1, np.int64)
+    ng = int(lib.plan_tiled_stage1(
+        _as_i32p(ref_loc), _as_i32p(query_loc), n, _as_i32p(order),
+        qbucket, cap, pad - W, BR, _as_i64p(gs)))
+    rl_p = np.empty(ng * BR, np.int32)
+    ql_p = np.empty(ng * BR, np.int32)
+    orig = np.empty(ng * BR, np.int32)
+    valid = np.empty(ng * BR, np.uint8)
+    rbase = np.empty(ng, np.int32)
+    qbase = np.empty(ng, np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.plan_tiled_fill(
+        _as_i32p(ref_loc), _as_i32p(query_loc), _as_i32p(order),
+        _as_i64p(gs), ng, BR, pad - W, qbucket, _as_i32p(rl_p),
+        _as_i32p(ql_p), _as_i32p(orig), valid.ctypes.data_as(u8p),
+        _as_i32p(rbase), _as_i32p(qbase))
+    return dict(rl=rl_p, ql=ql_p, valid=valid.astype(bool), orig=orig,
+                rbase=rbase, qbase=qbase, ngroups=ng)
 
 
 def build_seed_table_fast(ref_codes, step: int, shape_pos, seed_size: int,

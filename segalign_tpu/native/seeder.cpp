@@ -443,3 +443,71 @@ int64_t plan_tiled_sort(const int32_t* rl, const int32_t* ql, int64_t n,
 }
 
 }  // extern "C"
+
+// Grouping stage of the tiled-extension plan: after plan_tiled_sort,
+// compute group boundaries (cells = (q bucket, window-start / cap), then
+// chunks of BR) and fill the padded per-row/per-group arrays. The numpy
+// fallback in ops/extend_tiled.py implements the same logic; grouping is
+// scheduling-only (results are bit-exact for ANY grouping that keeps each
+// group's windows inside its tiles).
+
+extern "C" {
+
+// Returns ngroups; writes group start indices (into the sorted order) to
+// group_start_out[ngroups+1] (capacity n+1).
+int64_t plan_tiled_stage1(const int32_t* rl, const int32_t* ql, int64_t n,
+                          const int32_t* order, int64_t qbucket,
+                          int64_t cap, int64_t padW, int64_t BR,
+                          int64_t* group_start_out) {
+    if (n <= 0) return 0;
+    int64_t ng = 0;
+    int64_t cell_b = -1, cell_r = -1, cnt = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t j = order[i];
+        int64_t b = ql[j] / qbucket;
+        int64_t rc = (int64_t(rl[j]) + padW) / cap;
+        if (b != cell_b || rc != cell_r || cnt >= BR) {
+            group_start_out[ng++] = i;
+            cell_b = b;
+            cell_r = rc;
+            cnt = 0;
+        }
+        cnt++;
+    }
+    group_start_out[ng] = n;
+    return ng;
+}
+
+void plan_tiled_fill(const int32_t* rl, const int32_t* ql,
+                     const int32_t* order, const int64_t* group_start,
+                     int64_t ngroups, int64_t BR, int64_t padW,
+                     int64_t qbucket, int32_t* rl_p, int32_t* ql_p,
+                     int32_t* orig, uint8_t* valid, int32_t* rbase,
+                     int32_t* qbase) {
+    for (int64_t g = 0; g < ngroups; g++) {
+        int64_t lo = group_start[g], hi = group_start[g + 1];
+        int64_t first = order[lo];
+        int64_t rs0 = int64_t(rl[first]) + padW;
+        rbase[g] = int32_t((rs0 / 1024) * 8);
+        int64_t qs_low = (int64_t(ql[first]) / qbucket) * qbucket + padW;
+        qbase[g] = int32_t((qs_low / 1024) * 8);
+        int64_t dst = g * BR;
+        for (int64_t i = lo; i < hi; i++) {
+            int64_t j = order[i];
+            rl_p[dst] = rl[j];
+            ql_p[dst] = ql[j];
+            orig[dst] = int32_t(j);
+            valid[dst] = 1;
+            dst++;
+        }
+        for (int64_t i = hi - lo; i < BR; i++) {
+            rl_p[dst] = rl[first];
+            ql_p[dst] = ql[first];
+            orig[dst] = 0;
+            valid[dst] = 0;
+            dst++;
+        }
+    }
+}
+
+}  // extern "C"

@@ -21,6 +21,7 @@ Program structure per direction:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,24 +31,25 @@ from .extend3 import _finalize, window_step_fn
 _STATE = ("done", "cum", "maxv", "maxp", "counts", "cdel")
 
 
+_USE_TALL_STEP = os.environ.get("SEGALIGN_TSTEP", "") != "0"
+
+
 def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
                  ref_len, query_len, *, pad, W, left, interpret=False):
     """Window step as DMA row-gathers + the fused Pallas scan kernel.
 
-    Semantically identical to the XLA step (window_step_fn); ~40x faster on
-    TPU at (32768, 512): XLA lowers the (B, W) substitution-table lookup
-    and scan soup latency-bound (~150 ms), while the Pallas kernel runs the
-    whole post-gather scan in VMEM (~0.3 ms) and gather_rows_pallas
-    pipelines the HBM row reads (~0.13 ms vs ~2 ms for XLA's gather at
-    random starts). Requires sequences padded with right_pad >=
+    The scan runs in the dense tall layout by default (extend_tiled
+    .window_scan_tall — the (B, W) gather output reshapes to (B*W/128,
+    128) for free, the left direction scans mirrored instead of reversing
+    the data, and the pass-count tricks of the tiled first-window kernel
+    apply). SEGALIGN_TSTEP=0 selects the original wide scan kernel
+    (extend_pallas.window_scan_pallas); both are bit-exact vs the XLA
+    step (window_step_fn). Requires sequences padded with right_pad >=
     awin_for(W)."""
     from .extend_pallas import gather_rows_pallas, window_scan_pallas, \
         awin_for
     AW = awin_for(W)
     B = loc_r.shape[0]
-    # scan-kernel block height scales down with window width (VMEM budget)
-    BR = min(256, B, max(8, (1 << 17) // W))
-    assert B % BR == 0 and BR % 8 == 0, (B, BR)
     if left:
         r_start = pad + loc_r - tile - W
         q_start = pad + loc_q - tile - W
@@ -62,13 +64,25 @@ def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
                            interpret=interpret)
     q = gather_rows_pallas(seq_q, q_start, W=W, BR=min(256, B),
                            interpret=interpret)
-    if left:
-        r = r[:, ::-1]
-        q = q[:, ::-1]
-    o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = window_scan_pallas(
-        r, q, loc_r, loc_q, st["cum"], st["maxv"], st["maxp"],
-        st["done"], st["counts"], st["cdel"], sub_flat, xdrop, tile,
-        ref_len, query_len, W=W, left=left, BR=BR, interpret=interpret)
+    if _USE_TALL_STEP:
+        from .extend_tiled import window_scan_tall
+        o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = window_scan_tall(
+            r, q, loc_r, loc_q, st["cum"], st["maxv"], st["maxp"],
+            st["done"], st["counts"], st["cdel"], sub_flat, xdrop, tile,
+            ref_len, query_len, W=W, left=left, interpret=interpret)
+    else:
+        # scan-kernel block height scales with window width (VMEM budget)
+        BR = min(256, B, max(8, (1 << 17) // W))
+        assert B % BR == 0 and BR % 8 == 0, (B, BR)
+        if left:
+            r = r[:, ::-1]
+            q = q[:, ::-1]
+        o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = \
+            window_scan_pallas(
+                r, q, loc_r, loc_q, st["cum"], st["maxv"], st["maxp"],
+                st["done"], st["counts"], st["cdel"], sub_flat, xdrop,
+                tile, ref_len, query_len, W=W, left=left, BR=BR,
+                interpret=interpret)
     out = dict(done=o_done, cum=o_cum, maxv=o_maxv, maxp=o_maxp,
                counts=o_counts, cdel=o_cdel)
     n_alive = jnp.sum(jnp.logical_not(o_done).astype(jnp.int32))
@@ -160,7 +174,11 @@ def _cont_cascade(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
 
 
 def _cascade_sizes(CONT):
-    """Shrinking cohort sizes: CONT/4 and CONT/16 (floor 128)."""
+    """Shrinking cohort sizes: CONT/4 and CONT/16 (floor 128). Each stage
+    is its own data-dependent while_loop, and every while iteration
+    stalls the device pipeline (~1 ms through this host link), so the
+    ladder stays SHORT — a finer /2 ladder measured net-slower on
+    long-extension-heavy data despite stepping snugger cohorts."""
     return tuple(s for s in (CONT // 4, CONT // 16) if s >= 128)
 
 
@@ -366,6 +384,46 @@ def extend_fields_tiled(ref2d, q2d, rbase, qbase, rl, ql, valid, orig,
                                 st_r["counts"] + st_l["counts"], hspthresh)
     fin["orig"] = orig
     return fin
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad", "W", "CONT", "engine", "W_CONT",
+                                    "UNROLL", "BR", "TR", "TQ", "CBUF"))
+def extend_compact_tiled(ref2d, q2d, bases, rows4, sub_flat, xdrop,
+                         hspthresh, ref_len, query_len, *, pad: int,
+                         W: int = 512, CONT: int = 4096,
+                         engine: str = "pallas", W_CONT: int = 0,
+                         UNROLL: int = 4, BR: int = 256, TR: int = 768,
+                         TQ: int = 768, CBUF: int = 16384):
+    """ONE device program per chunk-strand: tiled first windows +
+    continuation + finalize + candidate compaction.
+
+    bases: (2, ngroups) int32 [rbase; qbase]; rows4: (4, ngroups*BR)
+    int32 [rl; ql; valid; orig] — stacked so the host pays TWO transfers
+    per chunk-strand instead of six per program (each device_put costs a
+    full tunnel round trip). Returns (total, packed (CBUF, 10)): packed
+    rows are orig, rs, qs, length, total, counts[4] for candidates in
+    original hit order (the on-device analog of compress_output + D2H,
+    /root/reference/src/seed_filter.cu:654-680,788)."""
+    rbase, qbase = bases[0], bases[1]
+    rl, ql = rows4[0], rows4[1]
+    valid = rows4[2] != 0
+    orig = rows4[3]
+    fin = extend_fields_tiled.__wrapped__(
+        ref2d, q2d, rbase, qbase, rl, ql, valid, orig, sub_flat, xdrop,
+        hspthresh, ref_len, query_len, pad=pad, W=W, CONT=CONT,
+        engine=engine, W_CONT=W_CONT, UNROLL=UNROLL, BR=BR, TR=TR, TQ=TQ)
+    cand = fin["candidate"]
+    total = jnp.sum(cand.astype(jnp.int32))
+    key = jnp.where(cand, orig, jnp.int32(1 << 30))
+    perm = jnp.argsort(key, stable=True)
+    sel = perm[:CBUF].astype(jnp.int32)
+    take = lambda k: jnp.take(fin[k], sel, axis=0)
+    packed = jnp.concatenate([
+        jnp.take(orig, sel)[:, None], take("rs")[:, None],
+        take("qs")[:, None], take("length")[:, None],
+        take("total")[:, None], take("counts")], axis=1)
+    return total, packed
 
 
 @functools.partial(jax.jit,

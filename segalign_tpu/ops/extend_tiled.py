@@ -74,7 +74,11 @@ def plan_tiled_groups(ref_loc, query_loc, *, W: int, pad: int,
     # so q is NOT monotone within the bucket): bucket + windows + align
     # slack must fit the tile
     assert qbucket + 2 * W + 2048 <= trows * 128, (qbucket, trows, W)
-    from ..native import plan_tiled_sort_native
+    from ..native import plan_tiled_groups_native, plan_tiled_sort_native
+    nat = plan_tiled_groups_native(ref_loc, query_loc, W=W, pad=pad, BR=BR,
+                                   cap=cap, qbucket=qbucket)
+    if nat is not None:
+        return nat
     order = plan_tiled_sort_native(ref_loc, query_loc, qbucket)
     if order is None:  # numpy fallback (no native toolchain)
         bucket64 = query_loc.astype(np.int64) // qbucket
@@ -491,3 +495,172 @@ def first_scan_tiled(ref2d, q2d, rbase, qbase, loc_r, loc_q, valid,
                     counts=counts, cdel=cdel)
 
     return st(*out[:6]), st(*out[6:])
+
+
+# ---------------------------------------------------------------------------
+# Continuation window step in the dense tall layout.
+#
+# The generic carried-state window step (extend3._extension_window_step_lean
+# semantics, oracle-anchored) re-expressed over (B*Gc, 128) rows: the
+# (B, W) wide gather output reshapes to this layout FOR FREE (row-major),
+# and the scan then runs with the same pass-count tricks as the first
+# -window kernel: one MXU triangular matmul for the prefix sum, first-drop
+# via reduce instead of a cumulative-OR scan, per-base packed count
+# reduces. The LEFT direction scans mirrored (descending storage order)
+# instead of reversing the gathered windows.
+
+
+def _cont_hit_reduce(x, B, Gc, op, unit, lane_op, bwd):
+    """Per-hit scalar over a (B*Gc, 128) single-direction block."""
+    inc = _hit_row_incl(x, Gc, op, unit, bwd=False)
+    x3 = inc.reshape(B, Gc, 128)
+    return lane_op(x3[:, Gc - 1, :], axis=1, keepdims=True)
+
+
+def _window_scan_tall_kernel(r_ref, q_ref, lr_ref, lq_ref, cum_ref,
+                             maxv_ref, maxp_ref, done_ref, counts_ref,
+                             cdel_ref, sub_ref, misc_ref, o_done, o_cum,
+                             o_maxv, o_maxp, o_counts, o_cdel, *, W: int,
+                             BRS: int, left: bool):
+    Gc = W // 128
+    N = BRS * Gc
+    xdrop = misc_ref[0]
+    tile = misc_ref[1]
+    ref_len = misc_ref[2]
+    query_len = misc_ref[3]
+    INF = 1 << 30
+
+    rows_r = r_ref[:]                     # (N, 128) int32 window codes
+    rows_q = q_ref[:]
+    lr = lr_ref[:]                        # (BRS, 1)
+    lq = lq_ref[:]
+    done0 = done_ref[:] != 0
+    alive = jnp.logical_not(done0)
+    cum0 = cum_ref[:]
+    maxv0 = maxv_ref[:]
+    maxp0 = maxp_ref[:]
+
+    hb = lambda s: _hit_bcast(s, BRS, Gc)
+    rowg = _hit_rows(rows_r, Gc)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+    f = rowg * 128 + lane                 # storage index within window
+    # extension offset: right p = tile + f (storage == scan order);
+    # left windows hold bytes [loc-tile-W, loc-tile) ascending, so scan
+    # order is DESCENDING f and p = tile + W - f
+    p = (tile + W - f) if left else (tile + f)
+    lrb = hb(lr)
+    lqb = hb(lq)
+    if left:
+        inb = (lrb >= p) & (lqb >= p)
+    else:
+        inb = ((lrb + p) < ref_len) & ((lqb + p) < query_len)
+
+    sc = jnp.where(inb, _lookup_scores_tall(rows_r * 8 + rows_q, sub_ref,
+                                            N), 0)
+    cum = _hit_cumsum(sc, Gc, bwd=left) + hb(cum0)
+    runmax = _hit_cummax(cum, Gc, bwd=left)
+    m = jnp.maximum(hb(maxv0), runmax)
+    drop = (m - cum) > xdrop
+    fd = _cont_hit_reduce(jnp.where(drop, p, INF), BRS, Gc, jnp.minimum,
+                          INF, jnp.min, left)
+    anydrop = fd < INF
+    before = p < hb(fd)
+    best_in = _cont_hit_reduce(jnp.where(before, cum, NEG), BRS, Gc,
+                               jnp.maximum, NEG, jnp.max, left)
+    Mv = jnp.maximum(maxv0, best_in)
+    is_new = Mv > maxv0
+    hit = (cum == hb(Mv)) & before
+    pmin = _cont_hit_reduce(jnp.where(hit, p, INF), BRS, Gc, jnp.minimum,
+                            INF, jnp.min, left)
+    Mp = jnp.where(is_new, pmin, maxp0)
+
+    if left:
+        edge = (lr < tile + W) | (lq < tile + W)
+    else:
+        edge = ((lr + tile + (W - 1)) >= ref_len) \
+            | ((lq + tile + (W - 1)) >= query_len)
+    finish = anydrop | edge
+
+    new_max = Mp > maxp0
+    counts0 = counts_ref[:]
+    cdel0 = cdel_ref[:]
+    counts_f = jnp.where(new_max, counts0 + cdel0, counts0)
+    cdel_f = jnp.where(new_max, 0, cdel0)
+    match = inb & (rows_r == rows_q) & (rows_r < 4)
+    in_ext = p <= hb(Mp)
+    add_in = []
+    add_out = []
+    for c in range(4):
+        mc = match & (rows_r == c)
+        v = jnp.where(mc, jnp.where(in_ext, 1, 1 << 16), 0)
+        s = _cont_hit_reduce(v, BRS, Gc, jnp.add, 0, jnp.sum, left)
+        add_in.append(jnp.bitwise_and(s, 0xFFFF))
+        add_out.append(jnp.right_shift(s, 16))
+    counts_f = counts_f + jnp.concatenate(add_in, axis=1)
+    cdel_f = cdel_f + jnp.concatenate(add_out, axis=1)
+
+    cum3 = cum.reshape(BRS, Gc, 128)
+    last = (cum3[:, 0, :][:, 0:1] if left
+            else cum3[:, Gc - 1, :][:, 127:128])
+    o_done[:] = (done0 | (alive & finish)).astype(jnp.int32)
+    o_cum[:] = jnp.where(alive, last, cum0)
+    o_maxv[:] = jnp.where(alive, Mv, maxv0)
+    o_maxp[:] = jnp.where(alive, Mp, maxp0)
+    o_counts[:] = jnp.where(alive, counts_f, counts0)
+    o_cdel[:] = jnp.where(alive, cdel_f, cdel0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "left", "BRS", "interpret"))
+def window_scan_tall(r, q, loc_r, loc_q, cum, maxv, maxp, done, counts,
+                     cdel, sub_flat, xdrop, tile, ref_len, query_len, *,
+                     W: int, left: bool, BRS: int = 256,
+                     interpret: bool = False):
+    """Drop-in replacement for extend_pallas.window_scan_pallas: r/q are
+    the RAW (B, W) gathered windows (ascending bytes; NOT reversed for
+    left — the kernel scans mirrored). Returns the six updated state
+    arrays."""
+    from .extend_pallas import _sub128
+    B = r.shape[0]
+    Gc = W // 128
+    BRS = min(BRS, B)
+    misc = jnp.stack([jnp.int32(xdrop), jnp.int32(tile),
+                      jnp.int32(ref_len), jnp.int32(query_len)])
+    col = lambda a: a.reshape(B, 1)
+    tall_spec = pl.BlockSpec((BRS * Gc, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    one_spec = pl.BlockSpec((BRS, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    four_spec = pl.BlockSpec((BRS, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    sub_spec = pl.BlockSpec((1, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    misc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_window_scan_tall_kernel, W=W, BRS=BRS,
+                          left=left),
+        grid=(B // BRS,),
+        in_specs=[tall_spec, tall_spec, one_spec, one_spec, one_spec,
+                  one_spec, one_spec, one_spec, four_spec, four_spec,
+                  sub_spec, misc_spec],
+        out_specs=(one_spec, one_spec, one_spec, one_spec, four_spec,
+                   four_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 4), jnp.int32),
+            jax.ShapeDtypeStruct((B, 4), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(r.reshape(B * Gc, 128), q.reshape(B * Gc, 128), col(loc_r),
+      col(loc_q), col(cum), col(maxv), col(maxp),
+      col(done.astype(jnp.int32)), counts, cdel, _sub128(sub_flat), misc)
+
+    o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = out
+    return (o_done.reshape(B) != 0, o_cum.reshape(B), o_maxv.reshape(B),
+            o_maxp.reshape(B), o_counts, o_cdel)

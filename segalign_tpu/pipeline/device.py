@@ -192,6 +192,9 @@ class PendingChunk:
     # filtered hit stream kept on host for the rare CBUF-overflow re-run
     ref_loc: Optional[np.ndarray] = None
     query_loc: Optional[np.ndarray] = None
+    # tiled-engine path: one fused program per <= TGP groups, each a dict
+    # (total, packed, rerun) — compaction happened in-program
+    tprogs: Optional[list] = None
 
 
 # sentinel "orig" value for invalid rows: above any real hit index (hits
@@ -228,10 +231,20 @@ def _pack_compact(fins, *, TBUF: int):
     return total, out
 
 
-@functools.partial(jax.jit, static_argnames=("B",))
-def _iota_off(off, *, B: int):
-    """orig indices for an in-order program: off + [0, B)."""
-    return jnp.arange(B, dtype=jnp.int32) + off
+# committed per-device cache of in-order orig index arrays, keyed by
+# (device, g0, B). MUST be committed with device_put: an uncommitted jit
+# output flips the argument-commitment pattern seen by _pack_compact,
+# and jax caches executables per commitment pattern — each new pattern
+# recompiled the (expensive, ~11 s) compaction program mid-run.
+_ORIG_CACHE: dict = {}
+
+
+def _orig_range(device, g0: int, B: int):
+    key = (id(device), g0, B)
+    if key not in _ORIG_CACHE:
+        _ORIG_CACHE[key] = jax.device_put(
+            np.arange(g0, g0 + B, dtype=np.int32), device)
+    return _ORIG_CACHE[key]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -311,17 +324,26 @@ class DeviceAligner:
                            or window)
         # tiled first-window engine (ops/extend_tiled): groups of BR hits
         # ordered by (q bucket, ref pos) share one ref tile + one q tile
-        # DMA; windows extracted via MXU one-hot matmuls. SEGALIGN_TILED
-        # =0 disables, =1 forces (interpret mode off-TPU, tests only).
+        # DMA; windows extracted via MXU one-hot matmuls. Opt-in
+        # (SEGALIGN_TILED=1): the kernel beats the row engine's
+        # first-window in isolation (116 vs 200 ns/hit measured), but the
+        # integrated flow currently measures ~40% slower per chunk-strand
+        # on homology-dense data (integration overheads under
+        # investigation; see docs/DESIGN.md round-3 notes) — the row
+        # engine stays the default until the tiled flow wins end to end.
         env_tiled = os.environ.get("SEGALIGN_TILED", "")
         self.tiled_forced = env_tiled == "1"
-        self.tiled = env_tiled != "0"
+        self.tiled = env_tiled == "1"
         self.TILED_MIN = int(os.environ.get("SEGALIGN_TILED_MIN", "0")) \
             or 16384
         self.W_TILED = int(os.environ.get("SEGALIGN_TWINDOW", "0")) or 512
         self.TROWS = int(os.environ.get("SEGALIGN_TROWS", "0")) or 768
         self.QBUCKET = int(os.environ.get("SEGALIGN_QBUCKET", "0")) or 94208
         self.BR_TILED = int(os.environ.get("SEGALIGN_TBR", "0")) or 256
+        # groups per tiled program: unlike the row engine (whose (B,)
+        # starts must fit SMEM), the tiled kernel prefetches only
+        # per-GROUP scalars, so programs can exceed 2^17 rows
+        self.TGP = int(os.environ.get("SEGALIGN_TGP", "0")) or 4096
         self.rm_mode = rm_mode
         if device is None:
             platform = os.environ.get("SEGALIGN_DEVICES") or None
@@ -401,15 +423,19 @@ class DeviceAligner:
         from ..ops.extend_pallas import awin_for
         aw = awin_for(max(self.ext_window, self.W_CONT))
         if self._native_seeder is not None:
-            # single 2-D storage: the tiled kernel slices (rows, 128)
-            # tiles; reshape(-1) inside jit is the 1-D view for every
-            # other engine (same memory, no copy)
+            # both layouts from ONE host buffer: the tiled kernel slices
+            # (rows, 128) tiles, the row engines take the flat view. A
+            # reshape inside jit is NOT free here (TPU XLA arrays carry
+            # tiled layouts, so reshape(-1) relayouts the whole block per
+            # program call — measured 2x end-to-end regression), hence
+            # two device arrays.
             from ..ops.extend_tiled import pad_sequence_2d
-            self.ref_2d = jax.device_put(
-                pad_sequence_2d(ref_codes, self.pad, self.TROWS,
-                                self.W_TILED, extra_right=self.pad + aw),
-                self.device)
-            self.ref_pad = None
+            host2d = pad_sequence_2d(ref_codes, self.pad, self.TROWS,
+                                     self.W_TILED,
+                                     extra_right=self.pad + aw)
+            self.ref_pad = jax.device_put(host2d.reshape(-1), self.device)
+            self.ref_2d = (jax.device_put(host2d, self.device)
+                           if self.tiled else None)
         else:
             self.ref_pad = jax.device_put(
                 pad_sequence(ref_codes, self.pad, self.pad + aw),
@@ -438,13 +464,17 @@ class DeviceAligner:
         rp = max(self.pad, self.chunk_size + self.seed_size + 1) + aw
         if self._native_seeder is not None:
             from ..ops.extend_tiled import pad_sequence_2d
-            mk = lambda c: jax.device_put(
-                pad_sequence_2d(c, self.pad, self.TROWS, self.W_TILED,
-                                extra_right=rp), self.device)
-            self.q2d_fw = mk(fw_codes)
-            self.q2d_rc = mk(rc_codes)
-            self.q_fw = None
-            self.q_rc = None
+
+            def mk(c):
+                h2d = pad_sequence_2d(c, self.pad, self.TROWS,
+                                      self.W_TILED, extra_right=rp)
+                flat = jax.device_put(h2d.reshape(-1), self.device)
+                two = (jax.device_put(h2d, self.device)
+                       if self.tiled else None)
+                return flat, two
+
+            self.q_fw, self.q2d_fw = mk(fw_codes)
+            self.q_rc, self.q2d_rc = mk(rc_codes)
         else:
             self.q_fw = jax.device_put(pad_sequence(fw_codes, self.pad, rp),
                                        self.device)
@@ -550,13 +580,18 @@ class DeviceAligner:
         if n == 0:
             return empty
 
-        q2d = self.q2d_rc if rev else self.q2d_fw
         use_tiled = (self.tiled and n >= self.TILED_MIN
                      and self.engine in ("pallas", "pallas_interpret"))
         if use_tiled:
-            fins = self._dispatch_tiled(ref_loc, query_loc, q2d, tm)
-        else:
-            fins = self._dispatch_rows(ref_loc, query_loc, q2d, n, tm)
+            q2d = self.q2d_rc if rev else self.q2d_fw
+            progs = self._dispatch_tiled(ref_loc, query_loc, q2d, tm)
+            tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
+                    f"hits={num_hits}")
+            return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
+                                num_hits, [], None, None, seg_ends,
+                                tprogs=progs)
+        q_pad = self.q_rc if rev else self.q_fw
+        fins = self._dispatch_rows(ref_loc, query_loc, q_pad, n, tm)
         t0 = time.time()
         # pad the program list to a power of two with all-invalid dummies:
         # _pack_compact then has one executable per size CLASS instead of
@@ -574,10 +609,10 @@ class DeviceAligner:
                             num_hits, fins_padded, total, out, seg_ends,
                             ref_loc, query_loc)
 
-    def _dispatch_rows(self, ref_loc, query_loc, q2d, n, tm):
+    def _dispatch_rows(self, ref_loc, query_loc, q_pad, n, tm):
         """Row-order extension programs (pre-tiled engine; still used for
         small workloads and the XLA engine)."""
-        from ..ops.extend_fused import extend_fields_program_2d
+        from ..ops.extend_fused import extend_fields_program
         # pow2-bucketed program size: one executable per size CLASS (a
         # remote AOT compile costs ~10s+); big strands use HBUF-row
         # programs, small workloads stay small
@@ -599,24 +634,34 @@ class DeviceAligner:
             d_q = jax.device_put(buf_q, self.device)
             tm.add("h2d", time.time() - t0)
             t0 = time.time()
-            fin = extend_fields_program_2d(
-                self.ref_2d, q2d, d_r, d_q, m, self.sub_flat,
+            fin = extend_fields_program(
+                self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
                 pad=self.pad, W=self.ext_window, CONT=self.CONT,
                 engine=self.engine, W_CONT=self.W_CONT,
                 UNROLL=self.UNROLL)
-            fin = dict(fin, orig=_iota_off(np.int32(g0), B=B_prog))
+            fin = dict(fin, orig=_orig_range(self.device, g0, B_prog))
             _dbg_sync("extend", fin["candidate"])
             fins.append(fin)
             tm.add("extend", time.time() - t0)
         return fins
 
+    def _tiled_class(self, mg: int) -> int:
+        """pow2 group-count class for one program (floor 512): each
+        distinct static shape costs a ~25 s remote AOT compile through
+        the tunnel and the compile cache dies with the process, so the
+        ladder is kept to {512, 1024, 2048, 4096}."""
+        return max(512, 1 << (mg - 1).bit_length())
+
     def _dispatch_tiled(self, ref_loc, query_loc, q2d, tm):
-        """Tiled-engine extension programs: plan hit groups once per
-        chunk-strand, then one program per <= HBUF planned rows (group
-        -granular split; pow2 group-count classes)."""
+        """Tiled-engine dispatch: plan hit groups once per chunk-strand,
+        then ONE fused device program per <= TGP groups (extension +
+        finalize + candidate compaction in-program), with all per-row
+        inputs stacked into a single transfer — the tunnel charges a
+        full round trip per device_put/call, which dominated the
+        many-program flow."""
         from ..ops.extend_tiled import plan_tiled_groups
-        from ..ops.extend_fused import extend_fields_tiled
+        from ..ops.extend_fused import extend_compact_tiled
         t0 = time.time()
         BR = self.BR_TILED
         plan = plan_tiled_groups(ref_loc, query_loc, W=self.W_TILED,
@@ -624,51 +669,48 @@ class DeviceAligner:
                                  qbucket=self.QBUCKET)
         tm.add("plan", time.time() - t0)
         ng = plan["ngroups"]
-        GP = max(16, self.HBUF // BR)   # groups per full program
-        fins = []
+        GP = self.TGP
+        progs = []
         for p0 in range(0, ng, GP):
             t0 = time.time()
             p1 = min(p0 + GP, ng)
             mg = p1 - p0
-            # every program is padded to the FULL group class: one
-            # executable total (each distinct static shape costs a
-            # ~25 s remote AOT compile through the tunnel, and the
-            # compile cache does not survive the process)
-            gpad = GP
-            rows = slice(p0 * BR, p1 * BR)
+            gpad = GP if ng > GP else self._tiled_class(mg)
             nr = mg * BR
-
-            def padded(a, fill=0, dtype=None):
-                out = np.full(gpad * BR, fill, dtype or a.dtype)
-                out[:nr] = a[rows]
-                return jax.device_put(out, self.device)
-
-            d_rl = padded(plan["rl"])
-            d_ql = padded(plan["ql"])
-            d_valid = padded(plan["valid"])
-            d_orig = padded(plan["orig"], fill=ORIG_INVALID)
-            gb = lambda a: jax.device_put(
-                np.concatenate([a[p0:p1],
-                                np.zeros(gpad - mg, np.int32)]),
-                self.device)
-            d_rbase = gb(plan["rbase"])
-            d_qbase = gb(plan["qbase"])
+            rows4 = np.zeros((4, gpad * BR), np.int32)
+            rows4[0, :nr] = plan["rl"][p0 * BR:p1 * BR]
+            rows4[1, :nr] = plan["ql"][p0 * BR:p1 * BR]
+            rows4[2, :nr] = plan["valid"][p0 * BR:p1 * BR]
+            rows4[3, :] = ORIG_INVALID
+            rows4[3, :nr] = plan["orig"][p0 * BR:p1 * BR]
+            bases = np.zeros((2, gpad), np.int32)
+            bases[0, :mg] = plan["rbase"][p0:p1]
+            bases[1, :mg] = plan["qbase"][p0:p1]
+            d_rows4 = jax.device_put(rows4, self.device)
+            d_bases = jax.device_put(bases, self.device)
             tm.add("h2d", time.time() - t0)
             t0 = time.time()
-            fin = extend_fields_tiled(
-                self.ref_2d, q2d, d_rbase, d_qbase, d_rl, d_ql, d_valid,
-                d_orig, self.sub_flat, self.xdrop, self.hspthresh,
-                self.ref_len, self.q_len, pad=self.pad, W=self.W_TILED,
-                CONT=self.CONT, engine=self.engine, W_CONT=self.W_CONT,
-                UNROLL=self.UNROLL, BR=BR, TR=self.TROWS, TQ=self.TROWS)
-            _dbg_sync("extend", fin["candidate"])
-            fins.append(fin)
+
+            def run(cbuf, d_bases=d_bases, d_rows4=d_rows4):
+                return extend_compact_tiled(
+                    self.ref_2d, q2d, d_bases, d_rows4, self.sub_flat,
+                    self.xdrop, self.hspthresh, self.ref_len, self.q_len,
+                    pad=self.pad, W=self.W_TILED, CONT=self.CONT,
+                    engine=self.engine, W_CONT=self.W_CONT,
+                    UNROLL=self.UNROLL, BR=BR, TR=self.TROWS,
+                    TQ=self.TROWS, CBUF=cbuf)
+
+            total, packed = run(self.CBUF)
+            _dbg_sync("extend", total)
+            progs.append(dict(total=total, packed=packed, rerun=run))
             tm.add("extend", time.time() - t0)
-        return fins
+        return progs
 
     def finish_chunk(self, p: PendingChunk) -> ChunkResult:
         """Collect a dispatched chunk: D2H of compacted candidates, logical
         -batch split, host entropy finalize + dedup."""
+        if p.tprogs is not None:
+            return self._finish_tiled(p)
         if not p.fins:
             return ChunkResult(np.zeros((0, 4), np.int64), p.num_hits,
                                p.num_seeds)
@@ -696,6 +738,51 @@ class DeviceAligner:
         tm.add("d2h", time.time() - t0)
 
         t0 = time.time()
+        hsps = self._split_and_finalize(allrows, p)
+        tm.add("host_dedup", time.time() - t0)
+        tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev} "
+                f"cand={len(allrows)}")
+        return ChunkResult(hsps, p.num_hits, p.num_seeds)
+
+    def _finish_tiled(self, p: PendingChunk) -> ChunkResult:
+        """Collect a tiled-engine chunk: fetch each program's count + a
+        bucketed slice of its in-program-compacted candidates; CBUF
+        overflow re-runs that program at an escalated width (rare)."""
+        tm = _StageTimer(_TIMING)
+        t0 = time.time()
+        parts = []
+        for pr in p.tprogs:
+            total = int(jax.device_get(pr["total"]))
+            if total == 0:
+                continue
+            out = pr["packed"]
+            if total > out.shape[0]:
+                cap = 1 << (total - 1).bit_length()
+                _, out = pr["rerun"](cap)
+                tm.add("rerun", 1e-3)
+            k = _bucket_for(total, out.shape[0])
+            parts.append(np.asarray(
+                jax.device_get(_slice_rows(out, k=k))[:total], np.int64))
+        tm.add("d2h", time.time() - t0)
+        if not parts:
+            tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev}")
+            return ChunkResult(np.zeros((0, 4), np.int64), p.num_hits,
+                               p.num_seeds)
+        allrows = np.concatenate(parts)
+        if len(parts) > 1:
+            # per-program rows are orig-ordered; restore global order
+            allrows = allrows[np.argsort(allrows[:, 0], kind="stable")]
+        t0 = time.time()
+        hsps = self._split_and_finalize(allrows, p)
+        tm.add("host_dedup", time.time() - t0)
+        tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev} "
+                f"cand={len(allrows)}")
+        return ChunkResult(hsps, p.num_hits, p.num_seeds)
+
+    def _split_and_finalize(self, allrows: np.ndarray,
+                            p: PendingChunk) -> np.ndarray:
+        """Logical-batch split (reference max_hits boundaries) + host
+        entropy finalize + dedup over fetched candidate rows."""
         seg = np.searchsorted(p.seg_ends, allrows[:, 0], side="right")
         all_out: List[np.ndarray] = []
         for s in np.unique(seg):
@@ -704,12 +791,8 @@ class DeviceAligner:
                 r[:, 1], r[:, 2], r[:, 3], r[:, 4], r[:, 5:9], p.rev)
             if out_arr is not None:
                 all_out.append(out_arr)
-        hsps = (np.concatenate(all_out, axis=0) if all_out
+        return (np.concatenate(all_out, axis=0) if all_out
                 else np.zeros((0, 4), np.int64))
-        tm.add("host_dedup", time.time() - t0)
-        tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev} "
-                f"cand={len(allrows)}")
-        return ChunkResult(hsps, p.num_hits, p.num_seeds)
 
     def _seed_and_filter_device(self, chunk_start: int, chunk_end: int,
                                 rev: bool,
