@@ -55,12 +55,59 @@ def synth_genome(rng, n, homolog_from=None, identity=0.85, repeat_frac=0.10):
     return seq
 
 
-def main():
+def load_inputs():
+    """Synthetic pair by default; real FASTA via BENCH_REF_FASTA /
+    BENCH_QUERY_FASTA env paths (BASELINE.md configs run the moment
+    genomes are mounted). Real inputs report the measured hit density so
+    the synthetic generator's 6.2 M hits/Mbp choice can be validated."""
+    ref_fa = os.environ.get("BENCH_REF_FASTA")
+    query_fa = os.environ.get("BENCH_QUERY_FASTA")
+    if ref_fa and query_fa:
+        from segalign_tpu.io.fasta import read_fasta
+        from segalign_tpu.io.encode import encode
+        ref = np.concatenate([encode(s) for _, s in read_fasta(ref_fa)])
+        query = np.concatenate([encode(s)
+                                for _, s in read_fasta(query_fa)])
+        print(f"bench inputs: {ref_fa} ({len(ref)/1e6:.1f} Mbp) x "
+              f"{query_fa} ({len(query)/1e6:.1f} Mbp)", file=sys.stderr)
+        return ref, query
     rng = np.random.default_rng(2024)
-    n_ref = int(REF_MBP * 1e6)
-    n_query = int(QUERY_MBP * 1e6)
-    ref = synth_genome(rng, n_ref)
-    query = synth_genome(rng, n_query, homolog_from=ref)
+    ref = synth_genome(rng, int(REF_MBP * 1e6))
+    query = synth_genome(rng, int(QUERY_MBP * 1e6), homolog_from=ref)
+    return ref, query
+
+
+def bench_gapped(ref, q_fw, q_rc, hsp_batches, sub8x8):
+    """Native ydrop gapped stage over the ungapped stage's real output:
+    one DP extension per final HSP, anchored at its midpoint — the same
+    per-segment contract the reference delegates to <= nproc lastz
+    processes (scripts/run_segalign:112-117). Returns (seconds,
+    n_extensions, n_accepted)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from segalign_tpu.native import gapped_extend_native
+    jobs = []
+    for hsps, rev in hsp_batches:
+        q = q_rc if rev else q_fw
+        for rs, qs, ln, sc in hsps:
+            jobs.append((q, int(rs + ln // 2), int(qs + ln // 2)))
+    t0 = time.time()
+
+    def one(j):
+        q, mid_r, mid_q = j
+        r = gapped_extend_native(ref, q, sub8x8, 400, 30, 9430,
+                                 mid_r, mid_q)
+        return r is not None and r[0] >= 3000
+
+    # ctypes releases the GIL during the DP; <= nproc workers like the
+    # reference's lastz process pool
+    with ThreadPoolExecutor(max_workers=os.cpu_count() or 1) as ex:
+        nacc = sum(ex.map(one, jobs))
+    return time.time() - t0, len(jobs), nacc
+
+
+def main():
+    ref, query = load_inputs()
+    n_ref, n_query = len(ref), len(query)
     from segalign_tpu.io.encode import revcomp_codes
     qrc = revcomp_codes(query)
 
@@ -105,7 +152,18 @@ def main():
     print(f"bench: {n_query/1e6:.0f} Mbp query vs {n_ref/1e6:.0f} Mbp ref "
           f"in {dt:.2f}s (+{table_s:.2f}s table) | "
           f"seeds={stats['seeds']} hits={stats['hits']} "
-          f"hsps={stats['hsps']}", file=sys.stderr)
+          f"hsps={stats['hsps']} "
+          f"({stats['hits']/(n_query/1e6):.2g} hits/Mbp)", file=sys.stderr)
+
+    if os.environ.get("SEGALIGN_BENCH_GAPPED", "1") != "0":
+        hsp_batches = [(r.hsps, w.rev) for r, w in zip(results, work)
+                       if len(r.hsps)]
+        g_s, g_n, g_acc = bench_gapped(ref, query, qrc, hsp_batches, sub)
+        e2e = (n_query / 1e6) / (dt + g_s)
+        print(f"gapped stage (native ydrop): {g_n} segments in {g_s:.2f}s "
+              f"({g_n/max(g_s,1e-9):.0f} segments/s, {g_acc} accepted) | "
+              f"end-to-end {e2e:.3f} Mbp/s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "ungapped_query_mbps",
         "value": round(mbps, 3),
