@@ -585,10 +585,9 @@ class DeviceAligner:
         if use_tiled:
             q2d = self.q2d_rc if rev else self.q2d_fw
             progs = self._dispatch_tiled(ref_loc, query_loc, q2d, tm)
-            tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
-                    f"hits={num_hits}")
+            totals = jnp.stack([pr["total"] for pr in progs])
             return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
-                                num_hits, [], None, None, seg_ends,
+                                num_hits, [], totals, None, seg_ends,
                                 tprogs=progs)
         q_pad = self.q_rc if rev else self.q_fw
         fins = self._dispatch_rows(ref_loc, query_loc, q_pad, n, tm)
@@ -706,6 +705,15 @@ class DeviceAligner:
             tm.add("extend", time.time() - t0)
         return progs
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _stack_packed(packed_list, *, k: int):
+        """One (P, k, 10) block so finish pays ONE candidate fetch per
+        chunk-strand instead of one per program (each device_get is a
+        full tunnel round trip, and fetching program k's count forces a
+        sync before program k+1's)."""
+        return jnp.stack([p[:k] for p in packed_list])
+
     def finish_chunk(self, p: PendingChunk) -> ChunkResult:
         """Collect a dispatched chunk: D2H of compacted candidates, logical
         -batch split, host entropy finalize + dedup."""
@@ -745,24 +753,34 @@ class DeviceAligner:
         return ChunkResult(hsps, p.num_hits, p.num_seeds)
 
     def _finish_tiled(self, p: PendingChunk) -> ChunkResult:
-        """Collect a tiled-engine chunk: fetch each program's count + a
-        bucketed slice of its in-program-compacted candidates; CBUF
-        overflow re-runs that program at an escalated width (rare)."""
+        """Collect a tiled-engine chunk with exactly TWO device fetches:
+        the stacked per-program counts, then one stacked bucketed slice of
+        all programs' in-program-compacted candidates. CBUF overflow
+        re-runs that program at an escalated width (rare)."""
         tm = _StageTimer(_TIMING)
         t0 = time.time()
+        totals = np.asarray(jax.device_get(p.total), np.int64)
         parts = []
-        for pr in p.tprogs:
-            total = int(jax.device_get(pr["total"]))
-            if total == 0:
-                continue
-            out = pr["packed"]
-            if total > out.shape[0]:
-                cap = 1 << (total - 1).bit_length()
-                _, out = pr["rerun"](cap)
-                tm.add("rerun", 1e-3)
-            k = _bucket_for(total, out.shape[0])
-            parts.append(np.asarray(
-                jax.device_get(_slice_rows(out, k=k))[:total], np.int64))
+        tmax = int(totals.max()) if len(totals) else 0
+        if tmax > self.CBUF:
+            for pr, total in zip(p.tprogs, totals):
+                total = int(total)
+                if total == 0:
+                    continue
+                out = pr["packed"]
+                if total > out.shape[0]:
+                    cap = 1 << (total - 1).bit_length()
+                    _, out = pr["rerun"](cap)
+                k = _bucket_for(total, out.shape[0])
+                parts.append(np.asarray(
+                    jax.device_get(_slice_rows(out, k=k))[:total],
+                    np.int64))
+        elif tmax > 0:
+            k = _bucket_for(tmax, self.CBUF)
+            stacked = np.asarray(jax.device_get(self._stack_packed(
+                [pr["packed"] for pr in p.tprogs], k=k)), np.int64)
+            parts = [stacked[i, :int(t)] for i, t in enumerate(totals)
+                     if t > 0]
         tm.add("d2h", time.time() - t0)
         if not parts:
             tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev}")
