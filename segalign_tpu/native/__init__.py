@@ -11,6 +11,7 @@ import ctypes
 import os
 import subprocess
 import sys
+import threading
 
 import numpy as np
 
@@ -224,28 +225,36 @@ def gapped_extend_native(ref_codes, query_codes, sub8x8, gap_open,
             int(meta[4]), bytes(ops[:n]))
 
 
-_PLAN_SCRATCH = [np.zeros(0, np.uint64), np.zeros(0, np.uint64),
-                 np.zeros(0, np.int32)]
+# Per-thread sort scratch: MultiDeviceAligner runs dispatch_chunk on one
+# thread per device, and concurrent plans sharing buffers would corrupt
+# the sort order silently (windows crossing tile bounds -> garbage
+# scores). Buffers are thread-cached rather than freshly allocated: fresh
+# large allocations page-fault pathologically on this VM's lazily-backed
+# memory.
+_PLAN_SCRATCH = threading.local()
 
 
 def plan_tiled_sort_native(ref_loc: np.ndarray, query_loc: np.ndarray,
                            qbucket: int, nthreads: int = 0):
     """Stable (query_loc // qbucket, ref_loc) sort of hit indices.
-    Returns the order array or None when the native lib is unavailable.
-    Scratch buffers are module-cached: fresh large allocations page-fault
-    pathologically on this VM's lazily-backed memory."""
+    Returns the order array or None when the native lib is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(ref_loc)
     if n == 0:
         return np.empty(0, np.int32)
-    if len(_PLAN_SCRATCH[0]) < n:
-        cap = max(n, 2 * len(_PLAN_SCRATCH[0]))
-        _PLAN_SCRATCH[0] = np.zeros(cap, np.uint64)
-        _PLAN_SCRATCH[1] = np.zeros(cap, np.uint64)
-        _PLAN_SCRATCH[2] = np.zeros(cap, np.int32)
-    keys, tmp, order = _PLAN_SCRATCH
+    scratch = getattr(_PLAN_SCRATCH, "bufs", None)
+    if scratch is None:
+        scratch = _PLAN_SCRATCH.bufs = [
+            np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+            np.zeros(0, np.int32)]
+    if len(scratch[0]) < n:
+        cap = max(n, 2 * len(scratch[0]))
+        scratch[0] = np.zeros(cap, np.uint64)
+        scratch[1] = np.zeros(cap, np.uint64)
+        scratch[2] = np.zeros(cap, np.int32)
+    keys, tmp, order = scratch
     ref_loc = np.ascontiguousarray(ref_loc, np.int32)
     query_loc = np.ascontiguousarray(query_loc, np.int32)
     u64p = ctypes.POINTER(ctypes.c_uint64)

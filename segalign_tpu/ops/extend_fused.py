@@ -104,6 +104,40 @@ def _step(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop, ref_len,
     return out, n_alive
 
 
+def _alive_prefix(done, K: int):
+    """Indices of the first K alive rows (in row order) plus each row's
+    inclusive alive-rank cumsum — WITHOUT a full argsort.
+
+    The previous compaction spent two stable B-row argsorts per cohort
+    round (the dominant cost of the continuation at B = 2^18 when only
+    ~1% of rows survive the first window); a blocked cumsum plus a
+    K-query searchsorted does the same selection in O(B) adds. For
+    j >= n_alive the index clamps to B-1 (a duplicate row): harmless —
+    duplicate rows are either done (step no-ops) or merged back by rank,
+    which picks each alive row's single true slot."""
+    from .scan_utils import blocked_cumsum
+    B = done.shape[0]
+    cum = blocked_cumsum(jnp.logical_not(done).astype(jnp.int32))
+    tgt = jnp.searchsorted(
+        cum, jnp.arange(1, K + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    return jnp.minimum(tgt, B - 1), cum
+
+
+def _merge_back(cst, st, cum, K: int):
+    """Sort/scatter-free merge: alive rows of `st` with rank < K take the
+    cohort result, everything else keeps its old state. `cum` is the
+    alive-rank cumsum of st['done'] that selected the cohort."""
+    rank = jnp.clip(cum - 1, 0, K - 1)
+    sel = jnp.logical_not(st["done"]) & (cum <= K)
+    out = {}
+    for kk in _STATE:
+        c = jnp.take(cst[kk], rank, axis=0)
+        m = sel if st[kk].ndim == 1 else sel[:, None]
+        out[kk] = jnp.where(m, c, st[kk])
+    return out
+
+
 def _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
                xdrop, ref_len, query_len, *, pad, Wc, UNROLL, left, engine,
                stop=0):
@@ -155,22 +189,15 @@ def _cont_cascade(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
                                n_alive, sub_flat, xdrop, ref_len,
                                query_len, pad=pad, Wc=Wc, UNROLL=UNROLL,
                                left=left, engine=engine, stop=nxt)
-    order = jnp.argsort(cst["done"], stable=True)
-    inv = jnp.argsort(order, stable=True)
-    prefix = order[:nxt]
-    take = lambda a: jnp.take(a, prefix, axis=0)
+    tgt, cum = _alive_prefix(cst["done"], nxt)
+    take = lambda a: jnp.take(a, tgt, axis=0)
     sst = {kk: take(cst[kk]) for kk in _STATE}
-    s_na = jnp.sum(jnp.logical_not(sst["done"]).astype(jnp.int32))
+    s_na = jnp.minimum(na, nxt)
     sst = _cont_cascade(seq_r, seq_q, take(c_lr), take(c_lq), sst, tile,
                         s_na, sub_flat, xdrop, ref_len, query_len,
                         pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
                         engine=engine, sizes=sizes[1:])
-
-    def merge(c, full):
-        rest = jnp.take(full, order[nxt:], axis=0)
-        return jnp.take(jnp.concatenate([c, rest], axis=0), inv, axis=0)
-
-    return {kk: merge(sst[kk], cst[kk]) for kk in _STATE}
+    return _merge_back(sst, cst, cum, nxt)
 
 
 def _cascade_sizes(CONT):
@@ -247,25 +274,16 @@ def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
 
     def round_body(c):
         st, na = c
-        order = jnp.argsort(st["done"], stable=True)
-        inv = jnp.argsort(order, stable=True)
-        prefix = order[:CONT]
-        take = lambda a: jnp.take(a, prefix, axis=0)
+        tgt, cum = _alive_prefix(st["done"], CONT)
+        take = lambda a: jnp.take(a, tgt, axis=0)
         c_lr, c_lq = take(loc_r), take(loc_q)
         cst = {kk: take(st[kk]) for kk in _STATE}
-        cohort = jnp.sum(jnp.logical_not(cst["done"]).astype(jnp.int32))
+        cohort = jnp.minimum(na, CONT)
         cst = _cont_cascade(seq_r, seq_q, c_lr, c_lq, cst, jnp.int32(W),
                             cohort, sub_flat, xdrop, ref_len, query_len,
                             pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
                             engine=engine, sizes=_cascade_sizes(CONT))
-
-        # merge back (sorted-space concat then unsort; gather-only)
-        def merge(c, full):
-            rest = jnp.take(full, order[CONT:], axis=0)
-            return jnp.take(jnp.concatenate([c, rest], axis=0), inv,
-                            axis=0)
-
-        return ({kk: merge(cst[kk], st[kk]) for kk in _STATE}, na - cohort)
+        return (_merge_back(cst, st, cum, CONT), na - cohort)
 
     st, _ = jax.lax.while_loop(round_cond, round_body, (st, n_alive))
     return st
@@ -329,23 +347,6 @@ def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
                         sub_flat, xdrop, hspthresh, ref_len, query_len,
                         pad=pad, W=W, CONT=CONT, engine=engine,
                         W_CONT=W_CONT, UNROLL=UNROLL)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("pad", "W", "CONT", "engine",
-                                    "W_CONT", "UNROLL"))
-def extend_fields_program_2d(ref2d, q2d, ref_loc, query_loc, m, sub_flat,
-                             xdrop, hspthresh, ref_len, query_len, *,
-                             pad: int, W: int = 256, CONT: int = 4096,
-                             engine: str = "xla", W_CONT: int = 0,
-                             UNROLL: int = 4):
-    """extend_fields_program over (rows, 128)-shaped padded sequences
-    (ops/extend_tiled.pad_sequence_2d). The reshape is a free bitcast
-    inside jit, so 2-D storage serves every engine."""
-    return extend_fields_program.__wrapped__(
-        ref2d.reshape(-1), q2d.reshape(-1), ref_loc, query_loc, m,
-        sub_flat, xdrop, hspthresh, ref_len, query_len, pad=pad, W=W,
-        CONT=CONT, engine=engine, W_CONT=W_CONT, UNROLL=UNROLL)
 
 
 @functools.partial(jax.jit,
@@ -415,9 +416,15 @@ def extend_compact_tiled(ref2d, q2d, bases, rows4, sub_flat, xdrop,
         engine=engine, W_CONT=W_CONT, UNROLL=UNROLL, BR=BR, TR=TR, TQ=TQ)
     cand = fin["candidate"]
     total = jnp.sum(cand.astype(jnp.int32))
-    key = jnp.where(cand, orig, jnp.int32(1 << 30))
+    # compact candidates in ROW order via cumsum selection (a full B-row
+    # argsort at B = 2^18+ is the costly part), then restore original hit
+    # order with a small CBUF-row sort; slots past `total` key to INF so
+    # clamp-duplicates sort last (the host reads only [:total])
+    tgt, _cum = _alive_prefix(jnp.logical_not(cand), CBUF)
+    row_ok = jnp.arange(CBUF, dtype=jnp.int32) < total
+    key = jnp.where(row_ok, jnp.take(orig, tgt), jnp.int32(1 << 30))
     perm = jnp.argsort(key, stable=True)
-    sel = perm[:CBUF].astype(jnp.int32)
+    sel = jnp.take(tgt, perm).astype(jnp.int32)
     take = lambda k: jnp.take(fin[k], sel, axis=0)
     packed = jnp.concatenate([
         jnp.take(orig, sel)[:, None], take("rs")[:, None],
@@ -479,10 +486,11 @@ def extend_compact_program(ref_pad, query_pad, ref_loc, query_loc, m,
                        W_CONT=W_CONT, UNROLL=UNROLL)
     cand = fin["candidate"]
     n = jnp.sum(cand.astype(jnp.int32))
-    # stable compaction via argsort (TPU scatter is slow); row order is
-    # preserved so the host can split rows back into logical batches
-    perm = jnp.argsort(jnp.logical_not(cand), stable=True)
-    sel = perm[:CBUF].astype(jnp.int32)
+    # row-order compaction via cumsum selection (sort- and scatter-free;
+    # row order is preserved so the host can split rows back into
+    # logical batches)
+    sel, _ = _alive_prefix(jnp.logical_not(cand), CBUF)
+    sel = sel.astype(jnp.int32)
     take = lambda a: jnp.take(a, sel, axis=0)
     packed = jnp.concatenate([
         sel[:, None], take(fin["rs"])[:, None], take(fin["qs"])[:, None],

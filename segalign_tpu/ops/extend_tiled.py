@@ -624,6 +624,7 @@ def window_scan_tall(r, q, loc_r, loc_q, cum, maxv, maxp, done, counts,
     B = r.shape[0]
     Gc = W // 128
     BRS = min(BRS, B)
+    assert B % BRS == 0, (B, BRS)  # a remainder would leave rows unscanned
     misc = jnp.stack([jnp.int32(xdrop), jnp.int32(tile),
                       jnp.int32(ref_len), jnp.int32(query_len)])
     col = lambda a: a.reshape(B, 1)

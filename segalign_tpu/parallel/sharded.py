@@ -333,8 +333,12 @@ class ShardedAligner:
         self.sub_flat = np.ascontiguousarray(
             np.asarray(sub_mat).reshape(-1), np.int32)
         nvar = 1 + self.kmer_size if transition else 1
+        # per-shard seed-routing capacity: nloc is already per-shard
+        # (chunk_cap // S), so the CAP basis is 2 * nloc — dividing by S
+        # again undersized it S-fold and tripped the overflow/escalation
+        # (+ extender recompile) path on every large chunk
         nloc = self.chunk_cap // S * nvar
-        self._caps = (max(4096, 1 << (2 * nloc // S - 1).bit_length()),
+        self._caps = (max(4096, 1 << (2 * nloc - 1).bit_length()),
                       1 << 13, 1 << 12)  # (CAP, HCAP, CCAP)
         self._ext_cache = {}
         self._rep_sharding = None

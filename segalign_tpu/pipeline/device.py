@@ -206,24 +206,25 @@ ORIG_INVALID = 1 << 30
 def _pack_compact(fins, *, TBUF: int):
     """Compact the candidates of ALL per-program extension results into
     one (TBUF, 9) int32 block: orig_hit_idx, rs, qs, length, total,
-    counts[4]. Rows may arrive in any order (the tiled engine plans them
-    by tile locality); each fin carries the original hit index in "orig",
-    and the argsort key (orig for candidates, ORIG_INVALID otherwise)
-    restores reference hit order exactly, so the host's logical-batch
-    split stays exact.
+    counts[4]. Row-engine fins arrive with MONOTONE orig (each program's
+    orig is g0 + arange, programs stacked ascending, dummies — orig
+    ORIG_INVALID — are never candidates), so cumsum-selection in row
+    order already yields candidates in original hit order; no argsort
+    needed (a stable sort at P x B rows was the expensive part of this
+    program). The host's logical-batch split stays exact.
 
     The on-device analog of compress_output + the D2H copy
     (/root/reference/src/seed_filter.cu:654-680,788), done once per
     chunk-strand instead of once per program."""
+    from ..ops.extend_fused import _alive_prefix
     stack = lambda k: jnp.concatenate([f[k].reshape(len(f[k]), -1)
                                        for f in fins], axis=0)
     cand = jnp.concatenate([f["candidate"] for f in fins])
     orig = jnp.concatenate([f["orig"] for f in fins])
     n = cand.shape[0]
     total = jnp.sum(cand.astype(jnp.int32))
-    key = jnp.where(cand, orig, ORIG_INVALID)
-    perm = jnp.argsort(key, stable=True)
-    sel = perm[:min(TBUF, n)].astype(jnp.int32)
+    sel, _ = _alive_prefix(jnp.logical_not(cand), min(TBUF, n))
+    sel = sel.astype(jnp.int32)
     take = lambda k: jnp.take(stack(k), sel, axis=0)
     out = jnp.concatenate([
         jnp.take(orig, sel)[:, None], take("rs"), take("qs"),
@@ -313,10 +314,16 @@ class DeviceAligner:
         self.W_CONT = int(os.environ.get("SEGALIGN_WCONT", "0")) or 2048
         # continuation window steps per while_loop iteration
         self.UNROLL = int(os.environ.get("SEGALIGN_UNROLL", "0")) or 4
+        # tiled first-window width (read BEFORE self.pad: padding must
+        # cover its reach too, and a SEGALIGN_TWINDOW above the old 512
+        # floor would otherwise send window-start bytes negative)
+        self.W_TILED = int(os.environ.get("SEGALIGN_TWINDOW", "0")) or 512
+        assert self.W_TILED % 128 == 0, self.W_TILED
         # the extender gathers slices up to max(window, W_CONT) wide either
         # side of each anchor; padding must cover the farthest reach
-        # (including the tiled first window, default 512)
-        self.pad = (max(W, window, self.W_CONT, 512) if twophase else W)
+        # (including the tiled first window)
+        self.pad = (max(W, window, self.W_CONT, self.W_TILED)
+                    if twophase else W)
         # first-window width of the single-program extension engine
         # (SEGALIGN_WINDOW overrides; any width is exact — window
         # decomposition independence is property-tested)
@@ -336,7 +343,6 @@ class DeviceAligner:
         self.tiled = env_tiled == "1"
         self.TILED_MIN = int(os.environ.get("SEGALIGN_TILED_MIN", "0")) \
             or 16384
-        self.W_TILED = int(os.environ.get("SEGALIGN_TWINDOW", "0")) or 512
         self.TROWS = int(os.environ.get("SEGALIGN_TROWS", "0")) or 768
         self.QBUCKET = int(os.environ.get("SEGALIGN_QBUCKET", "0")) or 94208
         self.BR_TILED = int(os.environ.get("SEGALIGN_TBR", "0")) or 256
