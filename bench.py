@@ -1,19 +1,34 @@
 """Benchmark: ungapped seed-filter-extend throughput on one chip.
 
-Generates a synthetic genome pair with realistic homology structure, runs
-the full per-chunk pipeline (device seeding -> hit expansion -> x-drop
-extension -> candidate compaction -> host finalize/dedup), and reports
-query throughput.
+Generates a synthetic genome pair with realistic repeat + homology
+structure, runs the full per-chunk pipeline (native seeding -> hit
+expansion -> x-drop extension -> candidate compaction -> host
+finalize/dedup), and reports query throughput.
 
 Prints ONE json line:
   {"metric": "ungapped_query_mbps", "value": ..., "unit": "Mbp/s",
-   "vs_baseline": ...}
+   "vs_baseline": ..., "densities": {...}, "legacy_planted_mbps": ...,
+   "engine_parity": "..."}
+
+The HEADLINE value comes from the repeat-structured generator at 1x
+repeat content (shared interspersed repeat families + microsatellite
+tandems + soft-masked runs + N gaps — the heavy-tailed seed-hit
+distribution real genome pairs show). `densities` reports a 0.5x/1x/4x
+repeat-content sweep; `legacy_planted_mbps` keeps the round-1..3
+planted-homology config for cross-round continuity. `engine_parity`
+records an on-hardware byte-comparison of the row, tiled and XLA
+extension engines over one chunk-strand (VERDICT r3 weak #4: recorded
+artifact, not an assertion).
 
 vs_baseline normalizes against NOMINAL_V100_MBPS, an ESTIMATE of
 SegAlign's per-V100 ungapped throughput on comparable data. The reference
 repo publishes no numbers (BASELINE.md); the estimate derives from the SC20
 paper's reported end-to-end speedups over lastz on AWS P3. Treat it as a
 fixed yardstick across rounds, not ground truth.
+
+Env: BENCH_REF_FASTA/BENCH_QUERY_FASTA real inputs; BENCH_REF_MBP /
+BENCH_QUERY_MBP sizes; BENCH_SWEEP=0 / BENCH_LEGACY=0 / BENCH_VERIFY=0
+skip the extra sections; SEGALIGN_BENCH_GAPPED=0 skips the gapped stage.
 """
 
 import json
@@ -31,6 +46,8 @@ CHUNK = 250_000
 
 
 def synth_genome(rng, n, homolog_from=None, identity=0.85, repeat_frac=0.10):
+    """Round-1..3 generator: planted diverged homology on a uniform
+    background (extension-dominated; ~6.2e6 hits/Mbp at 4 Mbp)."""
     seq = rng.integers(0, 4, n).astype(np.uint8)
     if homolog_from is not None:
         # plant diverged copies of segments of the partner genome
@@ -55,11 +72,80 @@ def synth_genome(rng, n, homolog_from=None, identity=0.85, repeat_frac=0.10):
     return seq
 
 
+def make_repeat_library(rng):
+    """Shared repeat library for a genome PAIR: interspersed repeat family
+    consensus sequences (SINE/LINE-like length mix) and microsatellite
+    units. Both genomes draw copies from the SAME library — ancient
+    shared families are what give real pairs their heavy-tailed
+    cross-genome seed-hit distribution."""
+    fams = [(150, 0.10), (300, 0.10), (600, 0.14), (1500, 0.16),
+            (5000, 0.18)]
+    lib = [(rng.integers(0, 4, ln).astype(np.uint8), div)
+           for ln, div in fams]
+    units = [np.array(u, np.uint8) for u in
+             ([0, 3], [1, 0], [1, 0, 2], [3, 3, 0, 2, 2, 1])]
+    return lib, units
+
+
+def synth_genome_repeats(rng, n, lib, homolog_from=None, identity=0.85,
+                         homology_frac=0.10, repeat_mult=1.0):
+    """Repeat-structured generator: interspersed family copies (fragmented,
+    per-copy diverged, mostly soft-masked like RepeatMasker output),
+    shared-unit tandem arrays, planted diverged homology, soft-masked runs
+    and N gaps. repeat_mult scales UNMASKED repeat content and thereby the
+    seed-hit density (reported, not assumed)."""
+    fams, units = lib
+    seq = rng.integers(0, 4, n).astype(np.uint8)
+    # ~25% repeat-derived sequence, ~88% of copies soft-masked: genomes
+    # fed to whole-genome aligners are post-RepeatMasker (that is what
+    # the reference RM mode produces), so only the masker's misses stay
+    # seedable — those drive the cross-genome repeat HSPs
+    budget = int(n * 0.25 * 0.12 * repeat_mult)
+    while budget > 0:
+        cons, div = fams[int(rng.integers(0, len(fams)))]
+        ln = len(cons)
+        take = int(rng.integers(ln // 4, ln + 1))   # 5'-truncated copies
+        frag = cons[ln - take:]
+        mut = rng.random(take) < div * rng.uniform(0.3, 1.7)
+        copy = np.where(mut, (frag + rng.integers(1, 4, take)) % 4, frag)
+        p = int(rng.integers(0, n - take))
+        if rng.random() < 0.88:
+            seq[p:p + take] = 4        # soft-masked copy: no seeds
+        else:
+            seq[p:p + take] = copy
+            budget -= take
+    for _ in range(max(1, n // 250_000)):           # tandem arrays
+        u = units[int(rng.integers(0, len(units)))]
+        reps = int(rng.integers(20, 400))
+        arr = np.tile(u, reps)[:8000]
+        p = int(rng.integers(0, n - len(arr)))
+        if rng.random() < 0.85:
+            seq[p:p + len(arr)] = 4
+        else:
+            seq[p:p + len(arr)] = arr
+    if homolog_from is not None:
+        placed = 0
+        total = int(n * homology_frac)
+        while placed < total:
+            ln = int(rng.integers(2_000, 30_000))
+            src = int(rng.integers(0, len(homolog_from) - ln))
+            dst = int(rng.integers(0, n - ln))
+            core = homolog_from[src:src + ln]
+            mut = rng.random(ln) >= identity
+            seq[dst:dst + ln] = np.where(
+                mut, (core + rng.integers(1, 4, ln)) % 4, core)
+            placed += ln
+    for _ in range(n // 1_000_000):                 # N gaps
+        p = int(rng.integers(0, n - 500))
+        seq[p:p + int(rng.integers(50, 500))] = 5
+    return seq
+
+
 def load_inputs():
     """Synthetic pair by default; real FASTA via BENCH_REF_FASTA /
     BENCH_QUERY_FASTA env paths (BASELINE.md configs run the moment
     genomes are mounted). Real inputs report the measured hit density so
-    the synthetic generator's 6.2 M hits/Mbp choice can be validated."""
+    the synthetic generators' density choices can be validated."""
     ref_fa = os.environ.get("BENCH_REF_FASTA")
     query_fa = os.environ.get("BENCH_QUERY_FASTA")
     if ref_fa and query_fa:
@@ -72,17 +158,74 @@ def load_inputs():
               f"{query_fa} ({len(query)/1e6:.1f} Mbp)", file=sys.stderr)
         return ref, query
     rng = np.random.default_rng(2024)
-    ref = synth_genome(rng, int(REF_MBP * 1e6))
-    query = synth_genome(rng, int(QUERY_MBP * 1e6), homolog_from=ref)
+    lib = make_repeat_library(rng)
+    ref = synth_genome_repeats(rng, int(REF_MBP * 1e6), lib)
+    query = synth_genome_repeats(rng, int(QUERY_MBP * 1e6), lib,
+                                 homolog_from=ref)
     return ref, query
 
 
-def bench_gapped(ref, q_fw, q_rc, hsp_batches, sub8x8):
+def make_aligner(chunk_size=CHUNK):
+    from segalign_tpu.config import make_seed_config, \
+        build_substitution_matrix
+    from segalign_tpu.pipeline.device import DeviceAligner
+    sc = make_seed_config("12of19")
+    sub = build_substitution_matrix(910)
+    return DeviceAligner(
+        shape_pos=sc.shape_pos, seed_size=sc.size, transition=True, step=1,
+        sub_mat=sub, xdrop=910, hspthresh=3000, noentropy=False,
+        chunk_size=chunk_size), sc, sub
+
+
+def run_config(ref, query, label, al=None):
+    """Align one synthetic/real pair end to end; returns a result dict
+    (mbps, hit density, HSP batches for the gapped stage)."""
+    from segalign_tpu.io.encode import revcomp_codes
+    from segalign_tpu.parallel.multi import ChunkWork
+    qrc = revcomp_codes(query)
+    if al is None:
+        al, _, _ = make_aligner()
+    t0 = time.time()
+    al.set_ref(ref)
+    table_s = time.time() - t0
+    al.set_query(query, qrc)
+    q_len = len(query) - al.seed_size
+    # warmup: compile on first chunks
+    al.seed_and_filter(0, min(CHUNK, q_len), rev=False)
+    al.seed_and_filter(0, min(CHUNK, q_len), rev=True)
+    work = []
+    for cs in range(0, q_len, CHUNK):
+        work.append(ChunkWork(cs, min(cs + CHUNK, q_len), False))
+        work.append(ChunkWork(cs, min(cs + CHUNK, q_len), True))
+    t1 = time.time()
+    stats = dict(hsps=0, hits=0, seeds=0)
+    results = al.map_chunks(work, depth=6)
+    for r in results:
+        stats["hsps"] += len(r.hsps)
+        stats["hits"] += r.num_hits
+        stats["seeds"] += r.num_seeds
+    dt = time.time() - t1
+    n_query = len(query)
+    mbps = (n_query / 1e6) / dt
+    dens = stats["hits"] / (n_query / 1e6)
+    print(f"bench[{label}]: {n_query/1e6:.0f} Mbp query vs "
+          f"{len(ref)/1e6:.0f} Mbp ref in {dt:.2f}s (+{table_s:.2f}s "
+          f"table) | seeds={stats['seeds']} hits={stats['hits']} "
+          f"hsps={stats['hsps']} ({dens:.2g} hits/Mbp) -> "
+          f"{mbps:.3f} Mbp/s", file=sys.stderr, flush=True)
+    return dict(mbps=mbps, density=dens, dt=dt, stats=stats,
+                batches=[(r.hsps, w.rev) for r, w in zip(results, work)
+                         if len(r.hsps)], qrc=qrc, al=al)
+
+
+def bench_gapped(ref, q_fw, q_rc, hsp_batches, sub8x8, ungapped_dt):
     """Native ydrop gapped stage over the ungapped stage's real output:
     one DP extension per final HSP, anchored at its midpoint — the same
     per-segment contract the reference delegates to <= nproc lastz
-    processes (scripts/run_segalign:112-117). Returns (seconds,
-    n_extensions, n_accepted)."""
+    processes (scripts/run_segalign:112-117). HSP-dense workloads are
+    SAMPLED (BENCH_GAPPED_MAX, default 20000 segments) and the
+    end-to-end number extrapolates the measured segments/s — printed as
+    such."""
     from concurrent.futures import ThreadPoolExecutor
     from segalign_tpu.native import gapped_extend_native
     jobs = []
@@ -90,6 +233,11 @@ def bench_gapped(ref, q_fw, q_rc, hsp_batches, sub8x8):
         q = q_rc if rev else q_fw
         for rs, qs, ln, sc in hsps:
             jobs.append((q, int(rs + ln // 2), int(qs + ln // 2)))
+    n_all = len(jobs)
+    cap = int(os.environ.get("BENCH_GAPPED_MAX", "20000"))
+    if n_all > cap:
+        idx = np.linspace(0, n_all - 1, cap).astype(int)
+        jobs = [jobs[i] for i in idx]
     t0 = time.time()
 
     def one(j):
@@ -102,74 +250,110 @@ def bench_gapped(ref, q_fw, q_rc, hsp_batches, sub8x8):
     # reference's lastz process pool
     with ThreadPoolExecutor(max_workers=os.cpu_count() or 1) as ex:
         nacc = sum(ex.map(one, jobs))
-    return time.time() - t0, len(jobs), nacc
+    g_s = time.time() - t0
+    g_full = g_s * n_all / max(len(jobs), 1)
+    e2e = (len(q_fw) / 1e6) / (ungapped_dt + g_full)
+    note = (f" [sampled {len(jobs)}/{n_all}, extrapolated]"
+            if n_all > len(jobs) else "")
+    print(f"gapped stage (native ydrop): {len(jobs)} segments in "
+          f"{g_s:.2f}s ({len(jobs)/max(g_s,1e-9):.0f} segments/s, "
+          f"{nacc} accepted) | end-to-end {e2e:.3f} Mbp/s{note}",
+          file=sys.stderr, flush=True)
+
+
+def engine_parity(ref, query, qrc):
+    """Run one chunk-strand through the row(pallas) and tiled engines
+    (BENCH_VERIFY=full adds the XLA engine — its while_loop programs
+    compile for minutes on this backend); return 'identical' /
+    'MISMATCH:<detail>' / 'skipped:<why>'. Recorded into the bench JSON
+    so hardware parity is an artifact, not an assertion (the XLA-vs-row
+    parity is CPU-tested per commit in tests/test_device_vs_oracle.py)."""
+    mode = os.environ.get("BENCH_VERIFY", "1")
+    if mode == "0":
+        return "skipped:BENCH_VERIFY=0"
+    engines = [("row", {}),
+               ("tiled", {"SEGALIGN_TILED": "1",
+                          "SEGALIGN_TILED_MIN": "1"})]
+    if mode == "full":
+        engines.append(("xla", {"SEGALIGN_PALLAS": "0"}))
+    outs = {}
+    try:
+        for name, env in engines:
+            old = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                al, _, _ = make_aligner()
+                al.set_ref(ref[:1_000_000])
+                al.set_query(query[:1_000_000], qrc[-1_000_000:])
+                r = al.seed_and_filter(0, CHUNK, rev=False)
+                outs[name] = r.hsps
+            finally:
+                for k, v in old.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+        base = outs["row"]
+        names = [n for n, _ in engines[1:]]
+        for name in names:
+            if base.shape != outs[name].shape or \
+                    not np.array_equal(base, outs[name]):
+                return (f"MISMATCH:row-vs-{name} "
+                        f"{base.shape}!={outs[name].shape}")
+        print(f"engine parity: row=={'=='.join(names)} over 1 "
+              f"chunk-strand ({len(base)} HSPs)", file=sys.stderr,
+              flush=True)
+        return f"identical:{'+'.join(['row'] + names)}:{len(base)}hsps"
+    except Exception as e:   # record, don't crash the bench
+        return f"error:{type(e).__name__}:{str(e)[:120]}"
 
 
 def main():
     ref, query = load_inputs()
-    n_ref, n_query = len(ref), len(query)
-    from segalign_tpu.io.encode import revcomp_codes
-    qrc = revcomp_codes(query)
+    real_inputs = bool(os.environ.get("BENCH_REF_FASTA"))
 
-    from segalign_tpu.config import make_seed_config, build_substitution_matrix
-    from segalign_tpu.pipeline.device import DeviceAligner
-
-    sc = make_seed_config("12of19")
-    sub = build_substitution_matrix(910)
-    al = DeviceAligner(
-        shape_pos=sc.shape_pos, seed_size=sc.size, transition=True, step=1,
-        sub_mat=sub, xdrop=910, hspthresh=3000, noentropy=False,
-        chunk_size=CHUNK)
-
-    t0 = time.time()
-    al.set_ref(ref)
-    table_s = time.time() - t0
-    al.set_query(query, qrc)
-
-    q_len = n_query - sc.size
-    # warmup: compile on first chunks
-    al.seed_and_filter(0, CHUNK, rev=False)
-    al.seed_and_filter(0, CHUNK, rev=True)
-
-    from segalign_tpu.parallel.multi import ChunkWork
-    work = []
-    for cs in range(0, q_len, CHUNK):
-        ce = min(cs + CHUNK, q_len)
-        work.append(ChunkWork(cs, ce, False))
-        work.append(ChunkWork(cs, ce, True))
-
-    t1 = time.time()
-    stats = dict(hsps=0, hits=0, seeds=0)
-    # pipelined production path: dispatch-ahead chunk processing
-    results = al.map_chunks(work, depth=6)
-    for r in results:
-        stats["hsps"] += len(r.hsps)
-        stats["hits"] += r.num_hits
-        stats["seeds"] += r.num_seeds
-    dt = time.time() - t1
-
-    mbps = (n_query / 1e6) / dt
-    print(f"bench: {n_query/1e6:.0f} Mbp query vs {n_ref/1e6:.0f} Mbp ref "
-          f"in {dt:.2f}s (+{table_s:.2f}s table) | "
-          f"seeds={stats['seeds']} hits={stats['hits']} "
-          f"hsps={stats['hsps']} "
-          f"({stats['hits']/(n_query/1e6):.2g} hits/Mbp)", file=sys.stderr)
+    res = run_config(ref, query, "repeat-1x")
+    headline = res["mbps"]
+    densities = {"1x": dict(mbps=round(res["mbps"], 3),
+                            hits_per_mbp=round(res["density"]))}
 
     if os.environ.get("SEGALIGN_BENCH_GAPPED", "1") != "0":
-        hsp_batches = [(r.hsps, w.rev) for r, w in zip(results, work)
-                       if len(r.hsps)]
-        g_s, g_n, g_acc = bench_gapped(ref, query, qrc, hsp_batches, sub)
-        e2e = (n_query / 1e6) / (dt + g_s)
-        print(f"gapped stage (native ydrop): {g_n} segments in {g_s:.2f}s "
-              f"({g_n/max(g_s,1e-9):.0f} segments/s, {g_acc} accepted) | "
-              f"end-to-end {e2e:.3f} Mbp/s", file=sys.stderr)
+        from segalign_tpu.config import build_substitution_matrix
+        bench_gapped(ref, query, res["qrc"], res["batches"],
+                     build_substitution_matrix(910), res["dt"])
 
-    print(json.dumps({
+    if not real_inputs and os.environ.get("BENCH_SWEEP", "1") != "0":
+        rng = np.random.default_rng(7)
+        lib = make_repeat_library(rng)
+        n = int(min(REF_MBP, 2.0) * 1e6)
+        for mult, key in ((0.5, "0.5x"), (4.0, "4x")):
+            r2 = synth_genome_repeats(rng, n, lib)
+            q2 = synth_genome_repeats(rng, n, lib, homolog_from=r2,
+                                      repeat_mult=mult)
+            rr = run_config(r2, q2, f"repeat-{key}")
+            densities[key] = dict(mbps=round(rr["mbps"], 3),
+                                  hits_per_mbp=round(rr["density"]))
+
+    legacy = None
+    if not real_inputs and os.environ.get("BENCH_LEGACY", "1") != "0":
+        rng = np.random.default_rng(2024)
+        r3 = synth_genome(rng, int(REF_MBP * 1e6))
+        q3 = synth_genome(rng, int(QUERY_MBP * 1e6), homolog_from=r3)
+        legacy = round(run_config(r3, q3, "legacy-planted")["mbps"], 3)
+
+    parity = engine_parity(ref, query, res["qrc"])
+
+    out = {
         "metric": "ungapped_query_mbps",
-        "value": round(mbps, 3),
+        "value": round(headline, 3),
         "unit": "Mbp/s",
-        "vs_baseline": round(mbps / NOMINAL_V100_MBPS, 3),
-    }), flush=True)
+        "vs_baseline": round(headline / NOMINAL_V100_MBPS, 3),
+        "densities": densities,
+        "engine_parity": parity,
+    }
+    if legacy is not None:
+        out["legacy_planted_mbps"] = legacy
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

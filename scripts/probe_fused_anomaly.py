@@ -64,7 +64,7 @@ def build_workload():
     from segalign_tpu.ops.extend_tiled import plan_tiled_groups
     plan = plan_tiled_groups(ref_loc, query_loc, W=al.W_TILED, pad=al.pad,
                              BR=al.BR_TILED, trows=al.TROWS,
-                             qbucket=al.QBUCKET)
+                             qbucket=al.QBUCKET, trows_q=al.TQROWS)
     ng = plan["ngroups"]
     print(f"plan: {ng} groups x {al.BR_TILED} rows = {ng*al.BR_TILED} "
           f"(valid {int(plan['valid'].sum())})", file=sys.stderr)
@@ -96,16 +96,18 @@ def main():
     only = set(sys.argv[1:])
     al, plan = build_workload()
     from segalign_tpu.ops.extend_fused import (
-        extend_compact_tiled, extend_fields_tiled, _run_tail)
+        extend_compact_tiled, extend_fields_tiled, _run_tail,
+        _run_tails_joint)
     from segalign_tpu.ops.extend_tiled import first_scan_tiled
 
     dev = al.device
     BR, TR, W, pad = al.BR_TILED, al.TROWS, al.W_TILED, al.pad
+    TQ = al.TQROWS
     CONT = int(os.environ.get("PROBE_CONT", "0")) or al.CONT
     W_CONT = int(os.environ.get("PROBE_WCONT", "0")) or al.W_CONT
     UNROLL = int(os.environ.get("PROBE_UNROLL", "0")) or al.UNROLL
     kw = dict(pad=pad, W=W, CONT=CONT, engine="pallas", W_CONT=W_CONT,
-              UNROLL=UNROLL, BR=BR, TR=TR, TQ=TR)
+              UNROLL=UNROLL, BR=BR, TR=TR, TQ=TQ)
 
     def mk_inputs(nrows):
         ng = nrows // BR
@@ -157,7 +159,7 @@ def main():
             st_r, st_l = first_scan_tiled.__wrapped__(
                 al.ref_2d, al.q2d_fw, bases[0], bases[1], rows4[0],
                 rows4[1], rows4[2] != 0, sub, consts[0] + dep0(acc),
-                consts[2], consts[3], W=W, pad=pad, BR=BR, TR=TR, TQ=TR,
+                consts[2], consts[3], W=W, pad=pad, BR=BR, TR=TR, TQ=TQ,
                 interpret=False)
             return acc + jnp.sum(st_r["maxv"], dtype=jnp.int32) \
                 + jnp.sum(st_l["maxv"], dtype=jnp.int32)
@@ -167,7 +169,7 @@ def main():
     st_r0, st_l0 = first_scan_tiled(
         al.ref_2d, al.q2d_fw, d_bases[0], d_bases[1], d_rows4[0],
         d_rows4[1], d_rows4[2] != 0, sub, consts[0], consts[2], consts[3],
-        W=W, pad=pad, BR=BR, TR=TR, TQ=TR)
+        W=W, pad=pad, BR=BR, TR=TR, TQ=TQ)
     na_r0 = int(jnp.sum(~st_r0["done"]))
     na_l0 = int(jnp.sum(~st_l0["done"]))
     print(f"first-window survivors: right {na_r0} left {na_l0} "
@@ -191,9 +193,26 @@ def main():
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
         return tail
 
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def tail_joint(reps, rows4):
+        def body(i, acc):
+            sr = dict(st_r0)
+            sl = dict(st_l0)
+            sr["cum"] = sr["cum"] + dep0(acc)
+            nr = jnp.sum(~sr["done"], dtype=jnp.int32)
+            nl = jnp.sum(~sl["done"], dtype=jnp.int32)
+            out_r, out_l = _run_tails_joint(
+                seq_r, seq_q, rows4[0], rows4[1], sr, nr, sl, nl, sub,
+                consts[0], consts[2], consts[3], **tail_kw)
+            return acc + jnp.sum(out_r["maxv"], dtype=jnp.int32) \
+                + jnp.sum(out_l["maxv"], dtype=jnp.int32)
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
     variants = {
         "full": lambda: measure(f"full fused {ROWS}", full, d_bases,
                                 d_rows4),
+        "tail_joint": lambda: measure(f"tail joint {ROWS}", tail_joint,
+                                      d_rows4),
         "nocompact": lambda: measure(f"no-compact {ROWS}", nocompact,
                                      d_bases, d_rows4),
         "first": lambda: measure(f"first-scan only {ROWS}", first_only,

@@ -117,6 +117,10 @@ def build_rm_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_gpu", "--num_devices", type=int, default=-1,
                    dest="num_devices")
     p.add_argument("--max_hits", type=int, default=0)
+    p.add_argument("--sharded_table", action="store_true",
+                   help="shard the seed position table by k-mer range over "
+                        "the device mesh (RM blocks are 1 GB, the mode "
+                        "that outgrows one chip's HBM first)")
     p.add_argument("--workdir", default="",
                    help="pinned working directory (enables --resume)")
     p.add_argument("--resume", action="store_true")
@@ -136,4 +140,4 @@ def rm_config_from_args(a) -> RMConfig:
         M=a.M, markend=a.markend, wga_chunk_size=a.wga_chunk_size,
         lastz_interval_size=a.lastz_interval_size,
         seq_block_size=a.seq_block_size, num_devices=a.num_devices,
-        max_hits=a.max_hits, debug=a.debug)
+        max_hits=a.max_hits, sharded_table=a.sharded_table, debug=a.debug)

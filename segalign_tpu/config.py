@@ -233,6 +233,9 @@ class RMConfig:
 
     max_hits: int = 0
     use_pallas: bool = True
+    sharded_table: bool = False  # k-mer-sharded table over the device mesh
+    #                              (RM blocks are 1 GB vs pairwise 500 MB,
+    #                              so RM needs table sharding FIRST)
 
     seed: SeedConfig = None
     sub_mat: np.ndarray = None

@@ -98,6 +98,10 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, u8p,
             i32p, i32p]
         lib.plan_tiled_fill.restype = None
+        lib.entropy_counts.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, i64p, i64p, i64p,
+            ctypes.c_int64, i64p]
+        lib.entropy_counts.restype = None
         _lib = lib
         return _lib
     except Exception as e:  # pragma: no cover
@@ -210,7 +214,7 @@ def gapped_extend_native(ref_codes, query_codes, sub8x8, gap_open,
     ref_codes = np.ascontiguousarray(ref_codes, np.uint8)
     query_codes = np.ascontiguousarray(query_codes, np.uint8)
     sub = np.ascontiguousarray(sub8x8, np.int64)
-    ops = np.zeros(max_ops, np.uint8)
+    ops = np.empty(max_ops, np.uint8)  # write-only out buffer
     meta = np.zeros(5, np.int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     n = lib.gapped_extend(
@@ -297,6 +301,38 @@ def plan_tiled_groups_native(ref_loc, query_loc, *, W: int, pad: int,
         _as_i32p(rbase), _as_i32p(qbase))
     return dict(rl=rl_p, ql=ql_p, valid=valid.astype(bool), orig=orig,
                 rbase=rbase, qbase=qbase, ngroups=ng)
+
+
+def entropy_counts_host(ref_codes: np.ndarray, q_codes: np.ndarray,
+                        rs: np.ndarray, qs: np.ndarray,
+                        ln: np.ndarray) -> np.ndarray:
+    """Per-HSP A/C/G/T match counts over the final extent [rs, rs+ln] x
+    [qs, qs+ln] (ln+1 positions; oracle/scan_spec.py semantics). C++ when
+    available, numpy fallback otherwise. Inputs are int64 1-D arrays."""
+    n = len(rs)
+    out = np.zeros((n, 4), np.int64)
+    if n == 0:
+        return out
+    rs = np.ascontiguousarray(rs, np.int64)
+    qs = np.ascontiguousarray(qs, np.int64)
+    ln = np.ascontiguousarray(ln, np.int64)
+    ref_codes = np.ascontiguousarray(ref_codes, np.uint8)
+    q_codes = np.ascontiguousarray(q_codes, np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.entropy_counts(
+            ref_codes.ctypes.data_as(u8p), len(ref_codes),
+            q_codes.ctypes.data_as(u8p), len(q_codes),
+            _as_i64p(rs), _as_i64p(qs), _as_i64p(ln), n, _as_i64p(out))
+        return out
+    for i in range(n):
+        end = int(ln[i]) + 1
+        r = ref_codes[rs[i]:rs[i] + end].astype(np.int64)
+        q = q_codes[qs[i]:qs[i] + end].astype(np.int64)
+        m = (r == q) & (r < 4)
+        out[i] = np.bincount(r[m], minlength=4)[:4]
+    return out
 
 
 def build_seed_table_fast(ref_codes, step: int, shape_pos, seed_size: int,

@@ -150,4 +150,39 @@ void revcomp_codes(const uint8_t* src, uint8_t* dst, int64_t n) {
     for (int64_t i = 0; i < n; i++) dst[i] = COMP[src[n - 1 - i] & 7];
 }
 
+// ---- lazy entropy counts ---------------------------------------------------
+// Per-HSP A/C/G/T match counts over the FINAL extension extent
+// [rs, rs+ln] x [qs, qs+ln] (ln+1 positions, both endpoints included).
+// oracle/scan_spec.py: the counts the device kernels used to track
+// incrementally are a pure function of the final extents, so the host
+// recomputes them here for entropy-band candidates only and the device
+// skips the bookkeeping entirely (with_counts=False kernels).
+void entropy_counts(const uint8_t* ref, int64_t ref_len, const uint8_t* q,
+                    int64_t q_len, const int64_t* rs, const int64_t* qs,
+                    const int64_t* ln, int64_t n, int64_t* out /* n x 4 */) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t c0 = 0, c1 = 0, c2 = 0, c3 = 0;
+        int64_t r0 = rs[i], q0 = qs[i];
+        int64_t end = ln[i] + 1;
+        if (r0 < 0 || q0 < 0 || r0 + end > ref_len || q0 + end > q_len)
+            end = 0;  // defensive: malformed extents count nothing
+        const uint8_t* rp = ref + r0;
+        const uint8_t* qp = q + q0;
+        for (int64_t j = 0; j < end; j++) {
+            uint8_t a = rp[j];
+            if (a == qp[j]) {
+                switch (a) {
+                    case 0: c0++; break;
+                    case 1: c1++; break;
+                    case 2: c2++; break;
+                    case 3: c3++; break;
+                    default: break;
+                }
+            }
+        }
+        out[i * 4 + 0] = c0; out[i * 4 + 1] = c1;
+        out[i * 4 + 2] = c2; out[i * 4 + 3] = c3;
+    }
+}
+
 }  // extern "C"

@@ -28,11 +28,13 @@ NEG = jnp.int32(-(2**31) + 1)
 from .scan_utils import robust_call as _robust_call
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "W", "left"))
+@functools.partial(jax.jit,
+                   static_argnames=("pad", "W", "left", "with_counts"))
 def _extension_window_step_jit(seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
                                done, cum, maxv, maxp, counts, cdel,
                                sub_flat, xdrop, ref_len, query_len, *,
-                               pad: int, W: int, left: bool):
+                               pad: int, W: int, left: bool,
+                               with_counts: bool = True):
     """Process the window covering positions [tile, tile+W) from the anchor
     for every live hit. Returns updated state + number of still-live hits.
     (`tile` is an explicit offset so continuation phases can use a wider
@@ -87,16 +89,24 @@ def _extension_window_step_jit(seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
 
     finish = anydrop | edge
 
-    new_max_found = Mp > maxp
-    counts_f = jnp.where(new_max_found[:, None], counts + cdel, counts)
-    cdel_f = jnp.where(new_max_found[:, None], 0, cdel)
-    match = inb & (r == q) & (r < 4)
-    in_ext = p <= Mp[:, None]
-    onehot = r[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
-    counts_f = counts_f + jnp.sum(
-        (match & in_ext)[:, :, None] & onehot, axis=1, dtype=jnp.int32)
-    cdel_f = cdel_f + jnp.sum(
-        (match & ~in_ext)[:, :, None] & onehot, axis=1, dtype=jnp.int32)
+    if with_counts:
+        new_max_found = Mp > maxp
+        counts_f = jnp.where(new_max_found[:, None], counts + cdel, counts)
+        cdel_f = jnp.where(new_max_found[:, None], 0, cdel)
+        match = inb & (r == q) & (r < 4)
+        in_ext = p <= Mp[:, None]
+        onehot = r[:, :, None] == \
+            jnp.arange(4, dtype=jnp.int32)[None, None, :]
+        counts_f = counts_f + jnp.sum(
+            (match & in_ext)[:, :, None] & onehot, axis=1, dtype=jnp.int32)
+        cdel_f = cdel_f + jnp.sum(
+            (match & ~in_ext)[:, :, None] & onehot, axis=1, dtype=jnp.int32)
+    else:
+        # lazy-entropy mode: counts are recomputed on host from the final
+        # extents for entropy-band candidates only (oracle/scan_spec.py:
+        # counts are a pure function of the extents), so the device skips
+        # the entropy bookkeeping entirely
+        counts_f, cdel_f = counts, cdel
 
     al2 = alive[:, None]
     out = dict(
@@ -140,11 +150,13 @@ def _matmul_cumsum(sc, W):
     return out.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "W", "left"))
+@functools.partial(jax.jit,
+                   static_argnames=("pad", "W", "left", "with_counts"))
 def _extension_window_step_lean(seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
                                 done, cum, maxv, maxp, counts, cdel,
                                 sub_flat, xdrop, ref_len, query_len, *,
-                                pad: int, W: int, left: bool):
+                                pad: int, W: int, left: bool,
+                                with_counts: bool = True):
     """Semantically identical to _extension_window_step_jit, restructured
     for the TPU cost model: lane cumsum on the MXU, cummax as log-step
     shifted maxes, entropy counts as 8 masked row reductions (no (B, W, 4)
@@ -196,19 +208,22 @@ def _extension_window_step_lean(seq_r_pad, seq_q_pad, loc_r, loc_q, tile,
 
     finish = anydrop | edge
 
-    new_max_found = Mp > maxp
-    counts_f = jnp.where(new_max_found[:, None], counts + cdel, counts)
-    cdel_f = jnp.where(new_max_found[:, None], 0, cdel)
-    match = inb & (r == q) & (r < 4)
-    in_ext = p <= Mp[:, None]
-    m_in = match & in_ext
-    m_out = match & jnp.logical_not(in_ext)
-    counts_f = counts_f + jnp.stack(
-        [jnp.sum(m_in & (r == c), axis=1, dtype=jnp.int32)
-         for c in range(4)], axis=1)
-    cdel_f = cdel_f + jnp.stack(
-        [jnp.sum(m_out & (r == c), axis=1, dtype=jnp.int32)
-         for c in range(4)], axis=1)
+    if with_counts:
+        new_max_found = Mp > maxp
+        counts_f = jnp.where(new_max_found[:, None], counts + cdel, counts)
+        cdel_f = jnp.where(new_max_found[:, None], 0, cdel)
+        match = inb & (r == q) & (r < 4)
+        in_ext = p <= Mp[:, None]
+        m_in = match & in_ext
+        m_out = match & jnp.logical_not(in_ext)
+        counts_f = counts_f + jnp.stack(
+            [jnp.sum(m_in & (r == c), axis=1, dtype=jnp.int32)
+             for c in range(4)], axis=1)
+        cdel_f = cdel_f + jnp.stack(
+            [jnp.sum(m_out & (r == c), axis=1, dtype=jnp.int32)
+             for c in range(4)], axis=1)
+    else:
+        counts_f, cdel_f = counts, cdel  # lazy entropy (see _jit variant)
 
     al2 = alive[:, None]
     out = dict(

@@ -32,10 +32,13 @@ _STATE = ("done", "cum", "maxv", "maxp", "counts", "cdel")
 
 
 _USE_TALL_STEP = os.environ.get("SEGALIGN_TSTEP", "") != "0"
+# SEGALIGN_JOINT_TAIL=0 restores the serial per-direction continuation
+_USE_JOINT_TAIL = os.environ.get("SEGALIGN_JOINT_TAIL", "") != "0"
 
 
 def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
-                 ref_len, query_len, *, pad, W, left, interpret=False):
+                 ref_len, query_len, *, pad, W, left, interpret=False,
+                 with_counts=True):
     """Window step as DMA row-gathers + the fused Pallas scan kernel.
 
     The scan runs in the dense tall layout by default (extend_tiled
@@ -69,7 +72,8 @@ def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
         o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = window_scan_tall(
             r, q, loc_r, loc_q, st["cum"], st["maxv"], st["maxp"],
             st["done"], st["counts"], st["cdel"], sub_flat, xdrop, tile,
-            ref_len, query_len, W=W, left=left, interpret=interpret)
+            ref_len, query_len, W=W, left=left, interpret=interpret,
+            with_counts=with_counts)
     else:
         # scan-kernel block height scales with window width (VMEM budget)
         BR = min(256, B, max(8, (1 << 17) // W))
@@ -82,7 +86,7 @@ def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
                 r, q, loc_r, loc_q, st["cum"], st["maxv"], st["maxp"],
                 st["done"], st["counts"], st["cdel"], sub_flat, xdrop,
                 tile, ref_len, query_len, W=W, left=left, BR=BR,
-                interpret=interpret)
+                interpret=interpret, with_counts=with_counts)
     out = dict(done=o_done, cum=o_cum, maxv=o_maxv, maxp=o_maxp,
                counts=o_counts, cdel=o_cdel)
     n_alive = jnp.sum(jnp.logical_not(o_done).astype(jnp.int32))
@@ -90,16 +94,17 @@ def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
 
 
 def _step(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop, ref_len,
-          query_len, *, pad, W, left, engine="xla"):
+          query_len, *, pad, W, left, engine="xla", with_counts=True):
     if engine in ("pallas", "pallas_interpret"):
         return _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat,
                             xdrop, ref_len, query_len, pad=pad, W=W,
                             left=left,
-                            interpret=engine == "pallas_interpret")
+                            interpret=engine == "pallas_interpret",
+                            with_counts=with_counts)
     out = window_step_fn().__wrapped__(
         seq_r, seq_q, loc_r, loc_q, tile, st["done"], st["cum"], st["maxv"],
         st["maxp"], st["counts"], st["cdel"], sub_flat, xdrop, ref_len,
-        query_len, pad=pad, W=W, left=left)
+        query_len, pad=pad, W=W, left=left, with_counts=with_counts)
     n_alive = out.pop("n_alive")
     return out, n_alive
 
@@ -140,7 +145,7 @@ def _merge_back(cst, st, cum, K: int):
 
 def _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
                xdrop, ref_len, query_len, *, pad, Wc, UNROLL, left, engine,
-               stop=0):
+               stop=0, with_counts=True):
     """Continuation while_loop: UNROLL window steps of width Wc per
     iteration. The data-dependent loop condition serializes the device
     pipeline (~1 ms/iteration measured on v5e via this host link), so each
@@ -158,7 +163,8 @@ def _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
         for _ in range(UNROLL):
             s, na = _step(seq_r, seq_q, c_lr, c_lq, tile, s, sub_flat,
                           xdrop, ref_len, query_len, pad=pad, W=Wc,
-                          left=left, engine=engine)
+                          left=left, engine=engine,
+                          with_counts=with_counts)
             tile = tile + Wc
         return tile, s, na
 
@@ -167,7 +173,7 @@ def _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
 
 def _cont_cascade(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
                   xdrop, ref_len, query_len, *, pad, Wc, UNROLL, left,
-                  engine, sizes):
+                  engine, sizes, with_counts=True):
     """Run a cohort to completion through a cascade of shrinking batches.
 
     Window steps cost batch-linear work whether rows are alive or done;
@@ -182,13 +188,15 @@ def _cont_cascade(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
         _, cst, _ = _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0,
                                n_alive, sub_flat, xdrop, ref_len,
                                query_len, pad=pad, Wc=Wc, UNROLL=UNROLL,
-                               left=left, engine=engine)
+                               left=left, engine=engine,
+                               with_counts=with_counts)
         return cst
     nxt = sizes[0]
     tile, cst, na = _cont_loop(seq_r, seq_q, c_lr, c_lq, cst, tile0,
                                n_alive, sub_flat, xdrop, ref_len,
                                query_len, pad=pad, Wc=Wc, UNROLL=UNROLL,
-                               left=left, engine=engine, stop=nxt)
+                               left=left, engine=engine, stop=nxt,
+                               with_counts=with_counts)
     tgt, cum = _alive_prefix(cst["done"], nxt)
     take = lambda a: jnp.take(a, tgt, axis=0)
     sst = {kk: take(cst[kk]) for kk in _STATE}
@@ -196,8 +204,12 @@ def _cont_cascade(seq_r, seq_q, c_lr, c_lq, cst, tile0, n_alive, sub_flat,
     sst = _cont_cascade(seq_r, seq_q, take(c_lr), take(c_lq), sst, tile,
                         s_na, sub_flat, xdrop, ref_len, query_len,
                         pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
-                        engine=engine, sizes=sizes[1:])
+                        engine=engine, sizes=sizes[1:],
+                        with_counts=with_counts)
     return _merge_back(sst, cst, cum, nxt)
+
+
+_CASCADE_ENV = os.environ.get("SEGALIGN_CASCADE", "")
 
 
 def _cascade_sizes(CONT):
@@ -205,13 +217,133 @@ def _cascade_sizes(CONT):
     is its own data-dependent while_loop, and every while iteration
     stalls the device pipeline (~1 ms through this host link), so the
     ladder stays SHORT — a finer /2 ladder measured net-slower on
-    long-extension-heavy data despite stepping snugger cohorts."""
+    long-extension-heavy data despite stepping snugger cohorts (round 3,
+    with argsort compaction; SEGALIGN_CASCADE="2048,512,128" overrides
+    for re-tuning now that recompaction is cumsum-based)."""
+    if _CASCADE_ENV:
+        sizes = tuple(int(x) for x in _CASCADE_ENV.split(",")
+                      if 0 < int(x) < CONT)
+        assert all(s & (s - 1) == 0 for s in sizes), sizes  # pow2 only
+        return sizes
     return tuple(s for s in (CONT // 4, CONT // 16) if s >= 128)
+
+
+def _cont_loop_joint(seq_r, seq_q, R, L, tile0, na_r, na_l, sub_flat,
+                     xdrop, ref_len, query_len, *, pad, Wc, UNROLL,
+                     engine, stop=0, with_counts=True):
+    """Both directions' continuation loops fused into ONE while_loop.
+
+    R/L are (loc_r, loc_q, state) for the right/left cohorts (selected
+    independently — different rows survive each direction). Each
+    iteration advances BOTH cohorts UNROLL windows; the loop runs while
+    EITHER side has more than `stop` rows alive. Scheduling-only: a
+    finished cohort's steps are no-ops. Halves the number of
+    data-dependent while iterations vs running the directions serially —
+    each iteration stalls the device pipeline, so iteration count is the
+    continuation's fixed cost."""
+    (lr_r, lq_r, st_r), (lr_l, lq_l, st_l) = R, L
+
+    def cond(c):
+        return jnp.maximum(c[2], c[4]) > stop
+
+    def body(c):
+        tile, sr, nr, sl, nl = c
+        for _ in range(UNROLL):
+            sr, nr = _step(seq_r, seq_q, lr_r, lq_r, tile, sr, sub_flat,
+                           xdrop, ref_len, query_len, pad=pad, W=Wc,
+                           left=False, engine=engine,
+                           with_counts=with_counts)
+            sl, nl = _step(seq_r, seq_q, lr_l, lq_l, tile, sl, sub_flat,
+                           xdrop, ref_len, query_len, pad=pad, W=Wc,
+                           left=True, engine=engine,
+                           with_counts=with_counts)
+            tile = tile + Wc
+        return tile, sr, nr, sl, nl
+
+    return jax.lax.while_loop(
+        cond, body, (tile0, st_r, na_r, st_l, na_l))
+
+
+def _cont_cascade_joint(seq_r, seq_q, R, L, tile0, na_r, na_l, sub_flat,
+                        xdrop, ref_len, query_len, *, pad, Wc, UNROLL,
+                        engine, sizes, with_counts=True):
+    """Joint-direction analog of _cont_cascade: shrink both cohorts
+    through the same size ladder, selecting each direction's survivors
+    independently at every stage. Returns (st_right, st_left)."""
+    tile, sr, nr, sl, nl = _cont_loop_joint(
+        seq_r, seq_q, R, L, tile0, na_r, na_l, sub_flat, xdrop, ref_len,
+        query_len, pad=pad, Wc=Wc, UNROLL=UNROLL, engine=engine,
+        stop=sizes[0] if sizes else 0, with_counts=with_counts)
+    if not sizes:
+        return sr, sl
+    nxt = sizes[0]
+
+    def shrink(lr, lq, st):
+        tgt, cum = _alive_prefix(st["done"], nxt)
+        take = lambda a: jnp.take(a, tgt, axis=0)
+        return (take(lr), take(lq), {kk: take(st[kk]) for kk in _STATE},
+                cum)
+
+    (lr_r, lq_r, _), (lr_l, lq_l, _) = R, L
+    r_lr, r_lq, r_st, cum_r = shrink(lr_r, lq_r, sr)
+    l_lr, l_lq, l_st, cum_l = shrink(lr_l, lq_l, sl)
+    sub_r, sub_l = _cont_cascade_joint(
+        seq_r, seq_q, (r_lr, r_lq, r_st), (l_lr, l_lq, l_st), tile,
+        jnp.minimum(nr, nxt), jnp.minimum(nl, nxt), sub_flat, xdrop,
+        ref_len, query_len, pad=pad, Wc=Wc, UNROLL=UNROLL, engine=engine,
+        sizes=sizes[1:], with_counts=with_counts)
+    return (_merge_back(sub_r, sr, cum_r, nxt),
+            _merge_back(sub_l, sl, cum_l, nxt))
+
+
+def _run_tails_joint(seq_r, seq_q, loc_r, loc_q, st_r, na_r, st_l, na_l,
+                     sub_flat, xdrop, ref_len, query_len, *, pad, W, CONT,
+                     engine, W_CONT=0, UNROLL=4, with_counts=True):
+    """Continue BOTH directions after their first windows with shared
+    while_loops (see _cont_loop_joint). Same contract as two _run_tail
+    calls; bit-identical results, ~half the loop iterations."""
+    Wc = W_CONT or W
+    B = loc_r.shape[0]
+    kw = dict(pad=pad, Wc=Wc, UNROLL=UNROLL, engine=engine,
+              with_counts=with_counts)
+    if B <= CONT:
+        return _cont_cascade_joint(
+            seq_r, seq_q, (loc_r, loc_q, st_r), (loc_r, loc_q, st_l),
+            jnp.int32(W), na_r, na_l, sub_flat, xdrop, ref_len, query_len,
+            sizes=_cascade_sizes(B), **kw)
+
+    def round_cond(c):
+        return jnp.maximum(c[1], c[3]) > 0
+
+    def round_body(c):
+        st_r, na_r, st_l, na_l = c
+
+        def pick(st):
+            tgt, cum = _alive_prefix(st["done"], CONT)
+            take = lambda a: jnp.take(a, tgt, axis=0)
+            return (take(loc_r), take(loc_q),
+                    {kk: take(st[kk]) for kk in _STATE}, cum)
+
+        r_lr, r_lq, r_st, cum_r = pick(st_r)
+        l_lr, l_lq, l_st, cum_l = pick(st_l)
+        sub_r, sub_l = _cont_cascade_joint(
+            seq_r, seq_q, (r_lr, r_lq, r_st), (l_lr, l_lq, l_st),
+            jnp.int32(W), jnp.minimum(na_r, CONT),
+            jnp.minimum(na_l, CONT), sub_flat, xdrop, ref_len, query_len,
+            sizes=_cascade_sizes(CONT), **kw)
+        return (_merge_back(sub_r, st_r, cum_r, CONT),
+                na_r - jnp.minimum(na_r, CONT),
+                _merge_back(sub_l, st_l, cum_l, CONT),
+                na_l - jnp.minimum(na_l, CONT))
+
+    st_r, _, st_l, _ = jax.lax.while_loop(
+        round_cond, round_body, (st_r, na_r, st_l, na_l))
+    return st_r, st_l
 
 
 def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
                         xdrop, ref_len, query_len, *, pad, W,
-                        interpret=False):
+                        interpret=False, with_counts=True):
     """Both directions' first windows off ONE shared gather per sequence.
 
     The per-row DMA issue + aligned-superset extraction is the dominant
@@ -236,7 +368,7 @@ def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
     valid = jnp.logical_not(st_r["done"])
     out_r, out_l = first_scan_pallas(
         r2, q2, loc_r, loc_q, valid, sub_flat, xdrop, ref_len, query_len,
-        W=W, BR=BR, interpret=interpret)
+        W=W, BR=BR, interpret=interpret, with_counts=with_counts)
     na_r = jnp.sum(jnp.logical_not(out_r["done"]).astype(jnp.int32))
     na_l = jnp.sum(jnp.logical_not(out_l["done"]).astype(jnp.int32))
     return (out_r, na_r), (out_l, na_l)
@@ -244,7 +376,7 @@ def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
 
 def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
               ref_len, query_len, *, pad, W, CONT, left, engine,
-              W_CONT=0, UNROLL=4):
+              W_CONT=0, UNROLL=4, with_counts=True):
     """Continue one direction after its first window: full-batch stepping
     while > CONT rows live, then a compacted continuation at width W_CONT
     (defaults to W).
@@ -261,7 +393,8 @@ def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
         return _cont_cascade(seq_r, seq_q, loc_r, loc_q, st, jnp.int32(W),
                              n_alive, sub_flat, xdrop, ref_len, query_len,
                              pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
-                             engine=engine, sizes=_cascade_sizes(B))
+                             engine=engine, sizes=_cascade_sizes(B),
+                             with_counts=with_counts)
 
     # graduated rounds: while any rows live, compact the first CONT of
     # them to the front, run them to completion at width Wc, merge back.
@@ -282,7 +415,8 @@ def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
         cst = _cont_cascade(seq_r, seq_q, c_lr, c_lq, cst, jnp.int32(W),
                             cohort, sub_flat, xdrop, ref_len, query_len,
                             pad=pad, Wc=Wc, UNROLL=UNROLL, left=left,
-                            engine=engine, sizes=_cascade_sizes(CONT))
+                            engine=engine, sizes=_cascade_sizes(CONT),
+                            with_counts=with_counts)
         return (_merge_back(cst, st, cum, CONT), na - cohort)
 
     st, _ = jax.lax.while_loop(round_cond, round_body, (st, n_alive))
@@ -291,7 +425,7 @@ def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
 
 def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
                  xdrop, hspthresh, ref_len, query_len, *, pad, W, CONT,
-                 engine, W_CONT=0, UNROLL=4):
+                 engine, W_CONT=0, UNROLL=4, with_counts=True):
     loc_r = jnp.where(valid, jnp.asarray(ref_loc, jnp.int32), 0)
     loc_q = jnp.where(valid, jnp.asarray(query_loc, jnp.int32), 0)
     B = loc_r.shape[0]
@@ -311,22 +445,30 @@ def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
         (st_r0, na_r), (st_l0, na_l) = _first_steps_pallas(
             ref_pad, query_pad, loc_r, loc_q, init_st(-1), init_st(0),
             sub_flat, xdrop, ref_len, query_len, pad=pad, W=W,
-            interpret=engine == "pallas_interpret")
+            interpret=engine == "pallas_interpret",
+            with_counts=with_counts)
     else:
         st_r0, na_r = _step(ref_pad, query_pad, loc_r, loc_q,
                             jnp.int32(0), init_st(-1), sub_flat, xdrop,
                             ref_len, query_len, pad=pad, W=W, left=False,
-                            engine=engine)
+                            engine=engine, with_counts=with_counts)
         st_l0, na_l = _step(ref_pad, query_pad, loc_r, loc_q,
                             jnp.int32(0), init_st(0), sub_flat, xdrop,
                             ref_len, query_len, pad=pad, W=W, left=True,
-                            engine=engine)
+                            engine=engine, with_counts=with_counts)
     kw = dict(pad=pad, W=W, CONT=CONT, engine=engine, W_CONT=W_CONT,
-              UNROLL=UNROLL)
-    st_r = _run_tail(ref_pad, query_pad, loc_r, loc_q, st_r0, na_r,
-                     sub_flat, xdrop, ref_len, query_len, left=False, **kw)
-    st_l = _run_tail(ref_pad, query_pad, loc_r, loc_q, st_l0, na_l,
-                     sub_flat, xdrop, ref_len, query_len, left=True, **kw)
+              UNROLL=UNROLL, with_counts=with_counts)
+    if _USE_JOINT_TAIL:
+        st_r, st_l = _run_tails_joint(
+            ref_pad, query_pad, loc_r, loc_q, st_r0, na_r, st_l0, na_l,
+            sub_flat, xdrop, ref_len, query_len, **kw)
+    else:
+        st_r = _run_tail(ref_pad, query_pad, loc_r, loc_q, st_r0, na_r,
+                         sub_flat, xdrop, ref_len, query_len, left=False,
+                         **kw)
+        st_l = _run_tail(ref_pad, query_pad, loc_r, loc_q, st_l0, na_l,
+                         sub_flat, xdrop, ref_len, query_len, left=True,
+                         **kw)
     return _finalize.__wrapped__(valid, loc_r, loc_q, st_r["maxv"],
                                  st_r["maxp"], st_l["maxv"], st_l["maxp"],
                                  st_r["counts"] + st_l["counts"],
@@ -334,11 +476,13 @@ def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "W", "CONT", "engine",
-                                             "W_CONT", "UNROLL"))
+                                             "W_CONT", "UNROLL",
+                                             "with_counts"))
 def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
                    xdrop, hspthresh, ref_len, query_len, *, pad: int,
                    W: int = 256, CONT: int = 4096, engine: str = "xla",
-                   W_CONT: int = 0, UNROLL: int = 4):
+                   W_CONT: int = 0, UNROLL: int = 4,
+                   with_counts: bool = True):
     """Extend a hit batch to completion in ONE device program.
 
     Same contract as ops/extend3.extend_hits_windowed but fully jitted:
@@ -346,18 +490,20 @@ def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
     return _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid,
                         sub_flat, xdrop, hspthresh, ref_len, query_len,
                         pad=pad, W=W, CONT=CONT, engine=engine,
-                        W_CONT=W_CONT, UNROLL=UNROLL)
+                        W_CONT=W_CONT, UNROLL=UNROLL,
+                        with_counts=with_counts)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("pad", "W", "CONT", "engine", "W_CONT",
-                                    "UNROLL", "BR", "TR", "TQ"))
+                                    "UNROLL", "BR", "TR", "TQ",
+                                    "with_counts"))
 def extend_fields_tiled(ref2d, q2d, rbase, qbase, rl, ql, valid, orig,
                         sub_flat, xdrop, hspthresh, ref_len, query_len, *,
                         pad: int, W: int = 512, CONT: int = 4096,
                         engine: str = "pallas", W_CONT: int = 0,
                         UNROLL: int = 4, BR: int = 256, TR: int = 256,
-                        TQ: int = 256):
+                        TQ: int = 256, with_counts: bool = True):
     """Tiled-engine analog of extend_fields_program: rows come PLANNED
     (ops/extend_tiled.plan_tiled_groups order), the first windows run in
     the fused tile kernel (one r-tile + one q-tile DMA per BR-hit group,
@@ -369,17 +515,23 @@ def extend_fields_tiled(ref2d, q2d, rbase, qbase, rl, ql, valid, orig,
     interpret = engine == "pallas_interpret"
     st_r0, st_l0 = first_scan_tiled(
         ref2d, q2d, rbase, qbase, rl, ql, valid, sub_flat, xdrop, ref_len,
-        query_len, W=W, pad=pad, BR=BR, TR=TR, TQ=TQ, interpret=interpret)
+        query_len, W=W, pad=pad, BR=BR, TR=TR, TQ=TQ, interpret=interpret,
+        with_counts=with_counts)
     na_r = jnp.sum(jnp.logical_not(st_r0["done"]).astype(jnp.int32))
     na_l = jnp.sum(jnp.logical_not(st_l0["done"]).astype(jnp.int32))
     seq_r = ref2d.reshape(-1)
     seq_q = q2d.reshape(-1)
     kw = dict(pad=pad, W=W, CONT=CONT, engine=engine, W_CONT=W_CONT,
-              UNROLL=UNROLL)
-    st_r = _run_tail(seq_r, seq_q, rl, ql, st_r0, na_r, sub_flat, xdrop,
-                     ref_len, query_len, left=False, **kw)
-    st_l = _run_tail(seq_r, seq_q, rl, ql, st_l0, na_l, sub_flat, xdrop,
-                     ref_len, query_len, left=True, **kw)
+              UNROLL=UNROLL, with_counts=with_counts)
+    if _USE_JOINT_TAIL:
+        st_r, st_l = _run_tails_joint(
+            seq_r, seq_q, rl, ql, st_r0, na_r, st_l0, na_l, sub_flat,
+            xdrop, ref_len, query_len, **kw)
+    else:
+        st_r = _run_tail(seq_r, seq_q, rl, ql, st_r0, na_r, sub_flat,
+                         xdrop, ref_len, query_len, left=False, **kw)
+        st_l = _run_tail(seq_r, seq_q, rl, ql, st_l0, na_l, sub_flat,
+                         xdrop, ref_len, query_len, left=True, **kw)
     fin = _finalize.__wrapped__(valid, rl, ql, st_r["maxv"], st_r["maxp"],
                                 st_l["maxv"], st_l["maxp"],
                                 st_r["counts"] + st_l["counts"], hspthresh)
@@ -389,13 +541,15 @@ def extend_fields_tiled(ref2d, q2d, rbase, qbase, rl, ql, valid, orig,
 
 @functools.partial(jax.jit,
                    static_argnames=("pad", "W", "CONT", "engine", "W_CONT",
-                                    "UNROLL", "BR", "TR", "TQ", "CBUF"))
+                                    "UNROLL", "BR", "TR", "TQ", "CBUF",
+                                    "with_counts"))
 def extend_compact_tiled(ref2d, q2d, bases, rows4, sub_flat, xdrop,
                          hspthresh, ref_len, query_len, *, pad: int,
                          W: int = 512, CONT: int = 4096,
                          engine: str = "pallas", W_CONT: int = 0,
                          UNROLL: int = 4, BR: int = 256, TR: int = 768,
-                         TQ: int = 768, CBUF: int = 16384):
+                         TQ: int = 768, CBUF: int = 16384,
+                         with_counts: bool = True):
     """ONE device program per chunk-strand: tiled first windows +
     continuation + finalize + candidate compaction.
 
@@ -413,7 +567,8 @@ def extend_compact_tiled(ref2d, q2d, bases, rows4, sub_flat, xdrop,
     fin = extend_fields_tiled.__wrapped__(
         ref2d, q2d, rbase, qbase, rl, ql, valid, orig, sub_flat, xdrop,
         hspthresh, ref_len, query_len, pad=pad, W=W, CONT=CONT,
-        engine=engine, W_CONT=W_CONT, UNROLL=UNROLL, BR=BR, TR=TR, TQ=TQ)
+        engine=engine, W_CONT=W_CONT, UNROLL=UNROLL, BR=BR, TR=TR, TQ=TQ,
+        with_counts=with_counts)
     cand = fin["candidate"]
     total = jnp.sum(cand.astype(jnp.int32))
     # compact candidates in ROW order via cumsum selection (a full B-row
@@ -435,12 +590,12 @@ def extend_compact_tiled(ref2d, q2d, bases, rows4, sub_flat, xdrop,
 
 @functools.partial(jax.jit,
                    static_argnames=("pad", "W", "CONT", "engine",
-                                    "W_CONT", "UNROLL"))
+                                    "W_CONT", "UNROLL", "with_counts"))
 def extend_fields_program(ref_pad, query_pad, ref_loc, query_loc, m,
                           sub_flat, xdrop, hspthresh, ref_len, query_len,
                           *, pad: int, W: int = 256, CONT: int = 4096,
                           engine: str = "xla", W_CONT: int = 0,
-                          UNROLL: int = 4):
+                          UNROLL: int = 4, with_counts: bool = True):
     """Extend rows [0, m) of an HBUF-sized hit batch; return the raw
     finalize fields dict(candidate, rs, qs, length, total, counts) as
     device arrays. Candidate compaction happens once per chunk-strand
@@ -452,7 +607,8 @@ def extend_fields_program(ref_pad, query_pad, ref_loc, query_loc, m,
     return _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid,
                         sub_flat, xdrop, hspthresh, ref_len, query_len,
                         pad=pad, W=W, CONT=CONT, engine=engine,
-                        W_CONT=W_CONT, UNROLL=UNROLL)
+                        W_CONT=W_CONT, UNROLL=UNROLL,
+                        with_counts=with_counts)
 
 
 @functools.partial(jax.jit,

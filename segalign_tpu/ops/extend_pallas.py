@@ -110,7 +110,7 @@ def _window_scan_kernel(r_ref, q_ref, lr_ref, lq_ref, cum_ref, maxv_ref,
                         maxp_ref, done_ref, counts_ref, cdel_ref, sub_ref,
                         misc_ref, o_cum_ref, o_maxv_ref, o_maxp_ref,
                         o_done_ref, o_counts_ref, o_cdel_ref, *, W: int,
-                        left: bool):
+                        left: bool, with_counts: bool = True):
     xdrop = misc_ref[0]
     tile = misc_ref[1]
     ref_len = misc_ref[2]
@@ -166,23 +166,28 @@ def _window_scan_kernel(r_ref, q_ref, lr_ref, lq_ref, cum_ref, maxv_ref,
     edge = jnp.logical_not(inb[:, W - 1:W])
     finish = anydrop | edge
 
-    new_max = Mp > maxp0[:, :1]
     counts0 = counts_ref[:]
     cdel0 = cdel_ref[:]
-    counts_f = jnp.where(new_max, counts0 + cdel0, counts0)
-    cdel_f = jnp.where(new_max, 0, cdel0)
-    match = inb & (r == q) & (r < 4)
-    in_ext = p <= Mp
-    add_in = []
-    add_out = []
-    for c in range(4):
-        mc = match & (r == c)
-        add_in.append(jnp.sum(mc & in_ext, axis=1, keepdims=True,
-                              dtype=jnp.int32))
-        add_out.append(jnp.sum(mc & jnp.logical_not(in_ext), axis=1,
-                               keepdims=True, dtype=jnp.int32))
-    counts_f = counts_f + jnp.concatenate(add_in, axis=1)
-    cdel_f = cdel_f + jnp.concatenate(add_out, axis=1)
+    if with_counts:
+        new_max = Mp > maxp0[:, :1]
+        counts_f = jnp.where(new_max, counts0 + cdel0, counts0)
+        cdel_f = jnp.where(new_max, 0, cdel0)
+        match = inb & (r == q) & (r < 4)
+        in_ext = p <= Mp
+        add_in = []
+        add_out = []
+        for c in range(4):
+            mc = match & (r == c)
+            add_in.append(jnp.sum(mc & in_ext, axis=1, keepdims=True,
+                                  dtype=jnp.int32))
+            add_out.append(jnp.sum(mc & jnp.logical_not(in_ext), axis=1,
+                                   keepdims=True, dtype=jnp.int32))
+        counts_f = counts_f + jnp.concatenate(add_in, axis=1)
+        cdel_f = cdel_f + jnp.concatenate(add_out, axis=1)
+    else:
+        # lazy entropy: state passes through unchanged (the host
+        # recomputes counts from final extents; oracle/scan_spec.py)
+        counts_f, cdel_f = counts0, cdel0
 
     al = alive[:, :1]
     o_done_ref[:] = (done_in | (al & finish)).astype(jnp.int32)
@@ -202,11 +207,12 @@ def _sub128(sub_flat):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("W", "left", "BR", "interpret"))
+                   static_argnames=("W", "left", "BR", "interpret",
+                                    "with_counts"))
 def window_scan_pallas(r, q, loc_r, loc_q, cum, maxv, maxp, done, counts,
                        cdel, sub_flat, xdrop, tile, ref_len, query_len, *,
                        W: int, left: bool, BR: int = 256,
-                       interpret: bool = False):
+                       interpret: bool = False, with_counts: bool = True):
     """Scan one W-wide window for B hits with a single fused kernel.
 
     r/q: (B, W) int32 window codes (extension order: reversed for left);
@@ -230,7 +236,8 @@ def window_scan_pallas(r, q, loc_r, loc_q, cum, maxv, maxp, done, counts,
     misc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     out = pl.pallas_call(
-        functools.partial(_window_scan_kernel, W=W, left=left),
+        functools.partial(_window_scan_kernel, W=W, left=left,
+                          with_counts=with_counts),
         grid=grid,
         in_specs=[row_spec, row_spec, one_spec, one_spec, one_spec,
                   one_spec, one_spec, one_spec, four_spec, four_spec,
@@ -255,7 +262,8 @@ def window_scan_pallas(r, q, loc_r, loc_q, cum, maxv, maxp, done, counts,
 
 
 def _first_scan_kernel(r2_ref, q2_ref, lr_ref, lq_ref, valid_ref, sub_ref,
-                       misc_ref, *out_refs, W: int):
+                       misc_ref, *out_refs, W: int,
+                       with_counts: bool = True):
     """Both directions' FIRST windows in one kernel over (BR, 2W) rows.
 
     Lanes [0, W) hold sequence positions [loc - W, loc) in natural order
@@ -320,33 +328,41 @@ def _first_scan_kernel(r2_ref, q2_ref, lr_ref, lq_ref, valid_ref, sub_ref,
         edge = jnp.logical_not(inb[:, edge_lane])
         finish = anydrop | edge
 
-        match = inb & (r == q) & (r < 4)
-        in_ext = p <= Mp
-        add_in = []
-        add_out = []
-        for c in range(4):
-            mc = match & (r == c)
-            add_in.append(jnp.sum(mc & in_ext, axis=1, keepdims=True,
-                                  dtype=jnp.int32))
-            add_out.append(jnp.sum(mc & jnp.logical_not(in_ext), axis=1,
-                                   keepdims=True, dtype=jnp.int32))
-
         (o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel) = \
             out_refs[6:] if left else out_refs[:6]
+        if with_counts:
+            match = inb & (r == q) & (r < 4)
+            in_ext = p <= Mp
+            add_in = []
+            add_out = []
+            for c in range(4):
+                mc = match & (r == c)
+                add_in.append(jnp.sum(mc & in_ext, axis=1, keepdims=True,
+                                      dtype=jnp.int32))
+                add_out.append(jnp.sum(mc & jnp.logical_not(in_ext),
+                                       axis=1, keepdims=True,
+                                       dtype=jnp.int32))
+            o_counts[:] = jnp.where(alive,
+                                    jnp.concatenate(add_in, axis=1), 0)
+            o_cdel[:] = jnp.where(alive,
+                                  jnp.concatenate(add_out, axis=1), 0)
+        else:
+            # lazy entropy: host recomputes counts from final extents
+            o_counts[:] = jnp.zeros(o_counts.shape, jnp.int32)
+            o_cdel[:] = jnp.zeros(o_cdel.shape, jnp.int32)
         o_done[:] = jnp.logical_or(jnp.logical_not(alive),
                                    finish).astype(jnp.int32)
         last = slice(W - 1, W) if not left else slice(0, 1)
         o_cum[:] = jnp.where(alive, cum[:, last], 0)
         o_maxv[:] = jnp.where(alive, Mv, 0)
         o_maxp[:] = jnp.where(alive, Mp, init_maxp)
-        o_counts[:] = jnp.where(alive, jnp.concatenate(add_in, axis=1), 0)
-        o_cdel[:] = jnp.where(alive, jnp.concatenate(add_out, axis=1), 0)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "BR", "interpret"))
+@functools.partial(jax.jit, static_argnames=("W", "BR", "interpret",
+                                             "with_counts"))
 def first_scan_pallas(r2, q2, loc_r, loc_q, valid, sub_flat, xdrop,
                       ref_len, query_len, *, W: int, BR: int = 128,
-                      interpret: bool = False):
+                      interpret: bool = False, with_counts: bool = True):
     """First extension windows of BOTH directions from one (B, 2W) gather.
 
     Returns (st_right, st_left): dicts of the six post-first-window state
@@ -371,7 +387,8 @@ def first_scan_pallas(r2, q2, loc_r, loc_q, valid, sub_flat, xdrop,
     col4_i32 = jax.ShapeDtypeStruct((B, 4), jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_first_scan_kernel, W=W),
+        functools.partial(_first_scan_kernel, W=W,
+                          with_counts=with_counts),
         grid=grid,
         in_specs=[row_spec, row_spec, one_spec, one_spec, one_spec,
                   sub_spec, misc_spec],

@@ -54,7 +54,7 @@ def tile_cap_bytes(trows: int, W: int) -> int:
 
 def plan_tiled_groups(ref_loc, query_loc, *, W: int, pad: int,
                       BR: int = DEF_BR, trows: int = DEF_TROWS,
-                      qbucket: int = 24576):
+                      qbucket: int = 24576, trows_q: int = 0):
     """Order hits (query-bucket, ref) and split into tile groups.
 
     Returns dict with per-row arrays padded to ngroups*BR (int32):
@@ -69,11 +69,13 @@ def plan_tiled_groups(ref_loc, query_loc, *, W: int, pad: int,
     base rows are computed on that scale.
     """
     n = len(ref_loc)
-    cap = tile_cap_bytes(trows, W)
-    # the q tile covers a whole q bucket (hits within a group are r-sorted,
-    # so q is NOT monotone within the bucket): bucket + windows + align
-    # slack must fit the tile
-    assert qbucket + 2 * W + 2048 <= trows * 128, (qbucket, trows, W)
+    cap = tile_cap_bytes(trows, W)   # trows sizes the REF tile (r span)
+    # the q tile (trows_q rows; defaults to the ref tile height) covers a
+    # whole q bucket (hits within a group are r-sorted, so q is NOT
+    # monotone within the bucket): bucket + windows + align slack must
+    # fit the tile
+    trows_q = trows_q or trows
+    assert qbucket + 2 * W + 2048 <= trows_q * 128, (qbucket, trows_q, W)
     from ..native import plan_tiled_groups_native, plan_tiled_sort_native
     nat = plan_tiled_groups_native(ref_loc, query_loc, W=W, pad=pad, BR=BR,
                                    cap=cap, qbucket=qbucket)
@@ -310,7 +312,7 @@ def _lookup_scores_tall(idx, sub_ref, N):
 def _first_scan_tiled_kernel(rbase_ref, qbase_ref, lr_ref, lq_ref,
                              valid_ref, sub_ref, misc_ref, ref_hbm, q_hbm,
                              *out_refs, W: int, BR: int, TR: int, TQ: int,
-                             pad: int):
+                             pad: int, with_counts: bool = True):
     """Fused: tile DMAs + dual window extraction + dual first-window scan.
 
     Semantics per direction identical to extend_pallas._first_scan_kernel
@@ -330,6 +332,10 @@ def _first_scan_tiled_kernel(rbase_ref, qbase_ref, lr_ref, lq_ref,
     nprog = pl.num_programs(0)
     rtile, qtile, sems = out_refs[-3:]
     out_refs = out_refs[:-3]
+    # all-pad groups (rbase < 0, a suffix appended by the dispatcher to
+    # reach a pow2 program class) skip the DMAs and the heavy compute:
+    # padding then costs ~nothing instead of a full group's MXU work
+    gval = rbase_ref[i] >= 0
 
     def dma_r(slot, gi):
         return pltpu.make_async_copy(
@@ -341,16 +347,45 @@ def _first_scan_tiled_kernel(rbase_ref, qbase_ref, lr_ref, lq_ref,
             q_hbm.at[pl.ds(pl.multiple_of(qbase_ref[gi], 8), TQ), :],
             qtile.at[slot], sems.at[1, slot])
 
+    nxt = jnp.minimum(i + 1, nprog - 1)   # clamp: reading, not starting
+
     @pl.when(i == 0)
     def _():
         dma_r(0, 0).start()
         dma_q(0, 0).start()
 
-    @pl.when(i + 1 < nprog)
+    @pl.when((i + 1 < nprog) & (rbase_ref[nxt] >= 0))
     def _():
-        dma_r((i + 1) % 2, i + 1).start()
-        dma_q((i + 1) % 2, i + 1).start()
+        dma_r((i + 1) % 2, nxt).start()
+        dma_q((i + 1) % 2, nxt).start()
 
+    @pl.when(jnp.logical_not(gval))
+    def _():
+        # defaults: exactly what the scan emits for an all-invalid group
+        for left in (True, False):
+            (o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel) = \
+                out_refs[6:12] if left else out_refs[0:6]
+            o_done[:] = jnp.ones((BR, 1), jnp.int32)
+            o_cum[:] = jnp.zeros((BR, 1), jnp.int32)
+            o_maxv[:] = jnp.zeros((BR, 1), jnp.int32)
+            o_maxp[:] = jnp.full((BR, 1), 0 if left else -1, jnp.int32)
+            o_counts[:] = jnp.zeros((BR, 4), jnp.int32)
+            o_cdel[:] = jnp.zeros((BR, 4), jnp.int32)
+
+    @pl.when(gval)
+    def _():
+        _scan_group(rbase_ref, qbase_ref, lr_ref, lq_ref, valid_ref,
+                    sub_ref, out_refs, rtile, qtile, dma_r, dma_q, i,
+                    xdrop, ref_len, query_len, W=W, BR=BR, TR=TR, TQ=TQ,
+                    pad=pad, with_counts=with_counts)
+
+
+def _scan_group(rbase_ref, qbase_ref, lr_ref, lq_ref, valid_ref, sub_ref,
+                out_refs, rtile, qtile, dma_r, dma_q, i, xdrop, ref_len,
+                query_len, *, W: int, BR: int, TR: int, TQ: int, pad: int,
+                with_counts: bool = True):
+    G = W // 128
+    G2 = 2 * G
     dma_r(i % 2, i).wait()
     dma_q(i % 2, i).wait()
 
@@ -401,15 +436,16 @@ def _first_scan_tiled_kernel(rbase_ref, qbase_ref, lr_ref, lq_ref,
     Mp_l = jnp.where(Mv_l > 0, pm_l, 0)
     Mp_r = jnp.where(Mv_r > 0, pm_r, -1)
 
-    # per-direction counts from ONE packed pass per base (low 16 bits =
-    # inside the extension, high 16 = outside)
-    match = inb & (rows_r == rows_q) & (rows_r < 4)
-    in_ext = p <= _half_bcast(Mp_l, Mp_r, BR, G, isleft)
-    packed = []
-    for c in range(4):
-        mc = match & (rows_r == c)
-        v = jnp.where(mc, jnp.where(in_ext, 1, 1 << 16), 0)
-        packed.append(_half_reduce(v, BR, G, jnp.add, 0, jnp.sum))
+    if with_counts:
+        # per-direction counts from ONE packed pass per base (low 16 bits
+        # = inside the extension, high 16 = outside)
+        match = inb & (rows_r == rows_q) & (rows_r < 4)
+        in_ext = p <= _half_bcast(Mp_l, Mp_r, BR, G, isleft)
+        packed = []
+        for c in range(4):
+            mc = match & (rows_r == c)
+            v = jnp.where(mc, jnp.where(in_ext, 1, 1 << 16), 0)
+            packed.append(_half_reduce(v, BR, G, jnp.add, 0, jnp.sum))
 
     # edge/out state at scan position W-1 of each half
     inb3 = inb.reshape(BR, G2, 128)
@@ -428,20 +464,27 @@ def _first_scan_tiled_kernel(rbase_ref, qbase_ref, lr_ref, lq_ref,
         o_cum[:] = jnp.where(alive, cum3[:, gend, :][:, 127:128], 0)
         o_maxv[:] = jnp.where(alive, Mv_l if left else Mv_r, 0)
         o_maxp[:] = jnp.where(alive, Mp_l if left else Mp_r, init_maxp)
-        cnt_in = jnp.concatenate(
-            [jnp.bitwise_and(half(pk), 0xFFFF) for pk in packed], axis=1)
-        cnt_out = jnp.concatenate(
-            [jnp.right_shift(half(pk), 16) for pk in packed], axis=1)
-        o_counts[:] = jnp.where(alive, cnt_in, 0)
-        o_cdel[:] = jnp.where(alive, cnt_out, 0)
+        if with_counts:
+            cnt_in = jnp.concatenate(
+                [jnp.bitwise_and(half(pk), 0xFFFF) for pk in packed],
+                axis=1)
+            cnt_out = jnp.concatenate(
+                [jnp.right_shift(half(pk), 16) for pk in packed], axis=1)
+            o_counts[:] = jnp.where(alive, cnt_in, 0)
+            o_cdel[:] = jnp.where(alive, cnt_out, 0)
+        else:
+            # lazy entropy: host recomputes counts from final extents
+            o_counts[:] = jnp.zeros((BR, 4), jnp.int32)
+            o_cdel[:] = jnp.zeros((BR, 4), jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "BR", "TR", "TQ", "pad",
-                                             "interpret"))
+                                             "interpret", "with_counts"))
 def first_scan_tiled(ref2d, q2d, rbase, qbase, loc_r, loc_q, valid,
                      sub_flat, xdrop, ref_len, query_len, *, W: int,
                      pad: int, BR: int = DEF_BR, TR: int = DEF_TROWS,
-                     TQ: int = DEF_TROWS, interpret: bool = False):
+                     TQ: int = DEF_TROWS, interpret: bool = False,
+                     with_counts: bool = True):
     """First extension windows of BOTH directions for planned hit groups.
 
     ref2d/q2d: (rows, 128) uint8 padded sequences (pad_sequence_2d);
@@ -478,7 +521,7 @@ def first_scan_tiled(ref2d, q2d, rbase, qbase, loc_r, loc_q, valid,
     )
     out = pl.pallas_call(
         functools.partial(_first_scan_tiled_kernel, W=W, BR=BR, TR=TR,
-                          TQ=TQ, pad=pad),
+                          TQ=TQ, pad=pad, with_counts=with_counts),
         grid_spec=grid_spec,
         out_shape=(col_i32, col_i32, col_i32, col_i32, col4_i32,
                    col4_i32) * 2,
@@ -521,7 +564,8 @@ def _window_scan_tall_kernel(r_ref, q_ref, lr_ref, lq_ref, cum_ref,
                              maxv_ref, maxp_ref, done_ref, counts_ref,
                              cdel_ref, sub_ref, misc_ref, o_done, o_cum,
                              o_maxv, o_maxp, o_counts, o_cdel, *, W: int,
-                             BRS: int, left: bool):
+                             BRS: int, left: bool,
+                             with_counts: bool = True):
     Gc = W // 128
     N = BRS * Gc
     xdrop = misc_ref[0]
@@ -581,23 +625,27 @@ def _window_scan_tall_kernel(r_ref, q_ref, lr_ref, lq_ref, cum_ref,
             | ((lq + tile + (W - 1)) >= query_len)
     finish = anydrop | edge
 
-    new_max = Mp > maxp0
     counts0 = counts_ref[:]
     cdel0 = cdel_ref[:]
-    counts_f = jnp.where(new_max, counts0 + cdel0, counts0)
-    cdel_f = jnp.where(new_max, 0, cdel0)
-    match = inb & (rows_r == rows_q) & (rows_r < 4)
-    in_ext = p <= hb(Mp)
-    add_in = []
-    add_out = []
-    for c in range(4):
-        mc = match & (rows_r == c)
-        v = jnp.where(mc, jnp.where(in_ext, 1, 1 << 16), 0)
-        s = _cont_hit_reduce(v, BRS, Gc, jnp.add, 0, jnp.sum, left)
-        add_in.append(jnp.bitwise_and(s, 0xFFFF))
-        add_out.append(jnp.right_shift(s, 16))
-    counts_f = counts_f + jnp.concatenate(add_in, axis=1)
-    cdel_f = cdel_f + jnp.concatenate(add_out, axis=1)
+    if with_counts:
+        new_max = Mp > maxp0
+        counts_f = jnp.where(new_max, counts0 + cdel0, counts0)
+        cdel_f = jnp.where(new_max, 0, cdel0)
+        match = inb & (rows_r == rows_q) & (rows_r < 4)
+        in_ext = p <= hb(Mp)
+        add_in = []
+        add_out = []
+        for c in range(4):
+            mc = match & (rows_r == c)
+            v = jnp.where(mc, jnp.where(in_ext, 1, 1 << 16), 0)
+            s = _cont_hit_reduce(v, BRS, Gc, jnp.add, 0, jnp.sum, left)
+            add_in.append(jnp.bitwise_and(s, 0xFFFF))
+            add_out.append(jnp.right_shift(s, 16))
+        counts_f = counts_f + jnp.concatenate(add_in, axis=1)
+        cdel_f = cdel_f + jnp.concatenate(add_out, axis=1)
+    else:
+        # lazy entropy: counts state passes through unchanged
+        counts_f, cdel_f = counts0, cdel0
 
     cum3 = cum.reshape(BRS, Gc, 128)
     last = (cum3[:, 0, :][:, 0:1] if left
@@ -611,11 +659,12 @@ def _window_scan_tall_kernel(r_ref, q_ref, lr_ref, lq_ref, cum_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("W", "left", "BRS", "interpret"))
+                   static_argnames=("W", "left", "BRS", "interpret",
+                                    "with_counts"))
 def window_scan_tall(r, q, loc_r, loc_q, cum, maxv, maxp, done, counts,
                      cdel, sub_flat, xdrop, tile, ref_len, query_len, *,
                      W: int, left: bool, BRS: int = 256,
-                     interpret: bool = False):
+                     interpret: bool = False, with_counts: bool = True):
     """Drop-in replacement for extend_pallas.window_scan_pallas: r/q are
     the RAW (B, W) gathered windows (ascending bytes; NOT reversed for
     left — the kernel scans mirrored). Returns the six updated state
@@ -640,7 +689,7 @@ def window_scan_tall(r, q, loc_r, loc_q, cum, maxv, maxp, done, counts,
 
     out = pl.pallas_call(
         functools.partial(_window_scan_tall_kernel, W=W, BRS=BRS,
-                          left=left),
+                          left=left, with_counts=with_counts),
         grid=(B // BRS,),
         in_specs=[tall_spec, tall_spec, one_spec, one_spec, one_spec,
                   one_spec, one_spec, one_spec, four_spec, four_spec,

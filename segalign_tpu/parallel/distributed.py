@@ -13,16 +13,26 @@ data flow and adds a host dimension:
   north-star >= 80% 2-host efficiency is limited only by interval-count
   imbalance).
 
-  v2 (north star, design): for reference blocks whose seed table exceeds
-  one chip's HBM, shard pos_table by k-mer range across chips; route each
-  query chunk's seeds with an all_to_all over ICI keyed on
-  kmer >> (2*kmer_size - log2(n_shards)); extend hits locally against the
-  replicated sequence; all_gather candidate HSPs. The window-step kernel is
-  unchanged — only hit expansion becomes distributed.
+  v2 (implemented, parallel/sharded.py): for reference blocks whose seed
+  table exceeds one chip's HBM, shard pos_table by k-mer range across
+  chips; route each query chunk's seeds with an all_to_all over ICI keyed
+  on kmer >> (2*kmer_size - log2(n_shards)); extend hits locally against
+  the replicated sequence; all_gather candidate HSPs. The window-step
+  kernel is unchanged — only hit expansion becomes distributed.
 
 Launch: run the same CLI on every host with
   SEGALIGN_NUM_HOSTS=N SEGALIGN_HOST_ID=i [SEGALIGN_COORD=ip:port]
 (or let jax.distributed discover a TPU pod's topology natively).
+
+v1 + v2 compose: after maybe_initialize_distributed(), a
+ShardedAligner(devices=jax.devices()) builds its mesh over the GLOBAL
+device list, so the k-mer shards span processes and the all_to_all rides
+whatever links connect them (ICI within a pod slice, DCN across).
+Because every collective input is either fully replicated (sequence
+blocks, scalars) or shard-sharded by the mesh, the same script runs
+unmodified at any process count; tests/test_distributed_sharded.py
+executes exactly this shape (2 processes x 4 CPU devices, byte parity
+vs the replicated path).
 """
 
 from __future__ import annotations

@@ -106,11 +106,19 @@ def _extract_seeds_local(query_pad, chunk_start, chunk_len, *, CHUNK_LOC,
 def make_sharded_extender(mesh, *, n_shards, kmer_size, seed_size,
                           shape_pos, transition, chunk_cap, pad, W,
                           xdrop, hspthresh, CAP, HCAP, CCAP,
-                          NB_CAP=8, engine="xla", axis="shard"):
+                          NB_CAP=8, engine="xla", axis="shard",
+                          rm_window=False, with_counts=True):
     """Build the jitted per-chunk sharded program.
 
+    rm_window=True adds the repeat-masker in-window restriction: hits
+    whose ref_loc falls outside [win_lo, win_hi] are dropped between
+    expansion and extension (repeat_masker_src/seed_filter.cu:239-244
+    semantics; batch boundaries stay based on UNMASKED hit counts, like
+    the replicated path's kept_cum remap).
+
     Returns fn(ref_pad, query_pad, index_shards, pos_shards, sub_flat,
-               chunk_start, chunk_len, ref_len, query_len, max_hits)
+               chunk_start, chunk_len, ref_len, query_len, max_hits,
+               win_lo, win_hi)
         -> (num_hits_total, num_seeds_total, cand_counts (S,),
             packed (S*CCAP, 10), overflow int32)
     packed rows: (row index within shard, rs, qs, length, total,
@@ -139,7 +147,8 @@ def make_sharded_extender(mesh, *, n_shards, kmer_size, seed_size,
     TOT_SLOTS = S * NLOC
 
     def body(ref_pad, query_pad, index_local, pos_local, sub_flat,
-             chunk_start, chunk_len, ref_len, query_len, max_hits):
+             chunk_start, chunk_len, ref_len, query_len, max_hits,
+             win_lo, win_hi):
         index_local = index_local[0]
         pos_local = pos_local[0]
         sid = jax.lax.axis_index(axis)
@@ -209,6 +218,8 @@ def make_sharded_extender(mesh, *, n_shards, kmer_size, seed_size,
         ref_loc = jnp.take(pos_local, bpos) + seed_size
         query_loc = jnp.take(rq, sidx) + seed_size
         hit_slot = jnp.take(rslot, sidx)
+        if rm_window:
+            hvalid = hvalid & (ref_loc >= win_lo) & (ref_loc <= win_hi)
 
         # 3b. reference iteration-batch boundaries: return each routed
         # seed's hit count to its origin, gather the global per-slot
@@ -248,7 +259,8 @@ def make_sharded_extender(mesh, *, n_shards, kmer_size, seed_size,
         # 4. shard-local extension (unchanged window engine)
         fin = _extend_core(ref_pad, query_pad, ref_loc, query_loc, hvalid,
                            sub_flat, xdrop, hspthresh, ref_len, query_len,
-                           pad=pad, W=W, CONT=4096, engine=engine)
+                           pad=pad, W=W, CONT=4096, engine=engine,
+                           with_counts=with_counts)
         cand = fin["candidate"]
         n_c = jnp.sum(cand.astype(jnp.int32))
         overflow = overflow | (n_c > CCAP)
@@ -274,7 +286,8 @@ def make_sharded_extender(mesh, *, n_shards, kmer_size, seed_size,
     shd = P(axis)
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(rep, rep, shd, shd, rep, rep, rep, rep, rep, rep),
+        in_specs=(rep, rep, shd, shd, rep, rep, rep, rep, rep, rep, rep,
+                  rep),
         out_specs=(rep, rep, rep, rep, rep),
         check_rep=False)
     return jax.jit(fn)
@@ -299,7 +312,7 @@ class ShardedAligner:
     def __init__(self, *, num_devices: int = -1, devices=None, shape_pos,
                  seed_size, transition, step, sub_mat, xdrop, hspthresh,
                  noentropy, chunk_size, max_hits: int = 0, W: int = 0,
-                 use_pallas=None, **_ignored):
+                 use_pallas=None, rm_mode: bool = False, **_ignored):
         import os
         from jax.sharding import Mesh
         if devices is None:
@@ -323,6 +336,7 @@ class ShardedAligner:
         self.noentropy = noentropy
         self.chunk_cap = -(-chunk_size // S) * S
         self.max_hits = max_hits or (4194304 * 16)
+        self.rm_mode = rm_mode
         on_tpu = self.devices[0].platform == "tpu"
         if use_pallas is None:
             use_pallas = on_tpu
@@ -382,11 +396,14 @@ class ShardedAligner:
         self.index_shards = self._shard0(ish)
         self.pos_shards = self._shard0(psh)
         self.ref_pad = self._replicate(self._pad_seq(ref_codes))
+        self._ref_host = np.ascontiguousarray(ref_codes, np.uint8)
 
     def set_query(self, fw_codes: np.ndarray, rc_codes: np.ndarray):
         self.q_len = len(fw_codes)
         self.q_fw = self._replicate(self._pad_seq(fw_codes))
         self.q_rc = self._replicate(self._pad_seq(rc_codes))
+        self._q_fw_host = np.ascontiguousarray(fw_codes, np.uint8)
+        self._q_rc_host = np.ascontiguousarray(rc_codes, np.uint8)
 
     def _extender(self, caps):
         key = caps
@@ -398,13 +415,16 @@ class ShardedAligner:
                 transition=self.transition, chunk_cap=self.chunk_cap,
                 pad=self.pad, W=self.W, xdrop=self.xdrop,
                 hspthresh=self.hspthresh, CAP=CAP, HCAP=HCAP, CCAP=CCAP,
-                engine=self.engine)
+                engine=self.engine, rm_window=self.rm_mode,
+                with_counts=False)
         return self._ext_cache[key]
 
-    def _run_chunk(self, chunk_start: int, chunk_end: int, rev: bool):
+    def _run_chunk(self, chunk_start: int, chunk_end: int, rev: bool,
+                   window=None):
         import sys
         from ..pipeline.device import ChunkResult
         q_pad = self.q_rc if rev else self.q_fw
+        win_lo, win_hi = window if window is not None else (0, 1 << 30)
         caps = self._caps
         for attempt in range(6):
             ext = self._extender(caps)
@@ -412,10 +432,14 @@ class ShardedAligner:
                 self.ref_pad, q_pad, self.index_shards, self.pos_shards,
                 self.sub_flat, np.int32(chunk_start),
                 np.int32(chunk_end - chunk_start), np.int32(self.ref_len),
-                np.int32(self.q_len), np.int32(self.max_hits)))
+                np.int32(self.q_len), np.int32(self.max_hits),
+                np.int32(win_lo), np.int32(win_hi)))
             if int(ovf) == 0:
-                hsps = finalize_sharded(counts, packed, self.hspthresh,
-                                        self.noentropy)
+                hsps = finalize_sharded(
+                    counts, packed, self.hspthresh, self.noentropy,
+                    rm_mode=self.rm_mode, rev=rev, ref_len=self.ref_len,
+                    seqs=(self._ref_host,
+                          self._q_rc_host if rev else self._q_fw_host))
                 return ChunkResult(hsps, int(th), int(ns))
             caps = tuple(c * 4 for c in caps)
             print(f"segalign_tpu: sharded capacity escalation to {caps} "
@@ -425,25 +449,26 @@ class ShardedAligner:
     def map_chunks(self, work, depth: int = 4):
         results = []
         for w in work:
-            if w.window is not None:
-                raise ValueError("--sharded_table does not support the "
-                                 "repeat-masker window restriction")
             results.append(self._run_chunk(w.chunk_start, w.chunk_end,
-                                           w.rev))
+                                           w.rev, w.window))
         return results
 
 
-def finalize_sharded(cand_counts, packed, hspthresh, noentropy):
+def finalize_sharded(cand_counts, packed, hspthresh, noentropy,
+                     rm_mode: bool = False, rev: bool = False,
+                     ref_len: int = 0, seqs=None):
     """Host finalize of a gathered candidate set: entropy + accept, then
-    pairwise dedup PER iteration batch (packed column 9 carries the
-    reference batch id). Returns (n, 4) int64 HSPs in batch order.
+    dedup PER iteration batch (packed column 9 carries the reference
+    batch id). rm_mode selects the repeat-masker dedup chain and the
+    minus-strand query remap (repeat_masker_src/seed_filter.cu:705-709).
+    Returns (n, 4) int64 HSPs in batch order.
 
     Within a batch, candidate input order is irrelevant: dedup keys on
     (diag, rs, len, score), and rows with identical keys are identical
     HSPs, so any order of the same candidate SET yields the same output.
     """
     from ..ops.finalize import finalize_candidates
-    from ..ops.dedup import dedup_pairwise
+    from ..ops.dedup import dedup_pairwise, dedup_rm
     S = len(cand_counts)
     CCAP = packed.shape[0] // S
     rows = []
@@ -457,13 +482,29 @@ def finalize_sharded(cand_counts, packed, hspthresh, noentropy):
     out = []
     for b in np.unique(allrows[:, 9]):
         r = allrows[allrows[:, 9] == b]
+        cnt = r[:, 5:9]
+        if seqs is not None and not noentropy:
+            # lazy entropy: device counts columns are zeros; recompute
+            # from extents for the entropy band (oracle/scan_spec.py)
+            from ..native import entropy_counts_host
+            ref_codes, q_codes = seqs
+            band = ((r[:, 4] >= hspthresh) & (r[:, 4] <= 3 * hspthresh))
+            cnt = np.zeros((len(r), 4), np.int64)
+            if band.any():
+                cnt[band] = entropy_counts_host(
+                    ref_codes, q_codes, r[band, 1], r[band, 2], r[band, 3])
         accepted, scores = finalize_candidates(
-            r[:, 1], r[:, 2], r[:, 3], r[:, 4], r[:, 5:9], hspthresh,
+            r[:, 1], r[:, 2], r[:, 3], r[:, 4], cnt, hspthresh,
             noentropy)
         if not accepted.any():
             continue
-        rs, qs, ln, sc = dedup_pairwise(
-            r[accepted, 1], r[accepted, 2], r[accepted, 3],
-            scores[accepted])
+        rs, qs, ln, sc = (r[accepted, 1], r[accepted, 2], r[accepted, 3],
+                          scores[accepted])
+        if rm_mode and rev:
+            qs = ref_len - 1 - (qs + ln)
+        if rm_mode:
+            rs, qs, ln, sc = dedup_rm(rs, qs, ln, sc)
+        else:
+            rs, qs, ln, sc = dedup_pairwise(rs, qs, ln, sc)
         out.append(np.stack([rs, qs, ln, sc], axis=1))
     return (np.concatenate(out) if out else np.zeros((0, 4), np.int64))

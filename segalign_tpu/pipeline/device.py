@@ -312,8 +312,10 @@ class DeviceAligner:
         # surviving the first window are long extensions, so wider windows
         # amortize loop and DMA-issue overheads (see extend_fused._run_tail)
         self.W_CONT = int(os.environ.get("SEGALIGN_WCONT", "0")) or 2048
-        # continuation window steps per while_loop iteration
-        self.UNROLL = int(os.environ.get("SEGALIGN_UNROLL", "0")) or 4
+        # continuation window steps per while_loop iteration (r4 sweep:
+        # 2 beats 4 beats 8 — overshoot waste outweighs the saved
+        # per-iteration stalls at W_CONT=2048)
+        self.UNROLL = int(os.environ.get("SEGALIGN_UNROLL", "0")) or 2
         # tiled first-window width (read BEFORE self.pad: padding must
         # cover its reach too, and a SEGALIGN_TWINDOW above the old 512
         # floor would otherwise send window-start bytes negative)
@@ -338,13 +340,27 @@ class DeviceAligner:
         # on homology-dense data (integration overheads under
         # investigation; see docs/DESIGN.md round-3 notes) — the row
         # engine stays the default until the tiled flow wins end to end.
+        # lazy entropy (default): extension kernels skip the per-base
+        # match-count bookkeeping (~30% of their scan passes) and the
+        # host recomputes counts from the final extents for entropy-band
+        # candidates only (oracle/scan_spec.py: counts are a pure
+        # function of the extents). SEGALIGN_DEVICE_COUNTS=1 restores
+        # on-device counts for A/B measurement.
+        self.lazy_counts = (
+            os.environ.get("SEGALIGN_DEVICE_COUNTS", "") != "1")
         env_tiled = os.environ.get("SEGALIGN_TILED", "")
         self.tiled_forced = env_tiled == "1"
         self.tiled = env_tiled == "1"
         self.TILED_MIN = int(os.environ.get("SEGALIGN_TILED_MIN", "0")) \
             or 16384
         self.TROWS = int(os.environ.get("SEGALIGN_TROWS", "0")) or 768
+        # query tile height (ref tile height is TROWS): the extraction
+        # one-hot matmuls cost O(TR + TQ) per hit, so the tiles want to be
+        # as short as their span constraints allow
+        self.TQROWS = int(os.environ.get("SEGALIGN_TQROWS", "0")) \
+            or self.TROWS
         self.QBUCKET = int(os.environ.get("SEGALIGN_QBUCKET", "0")) or 94208
+        assert self.QBUCKET + 2 * self.W_TILED + 2048 <= self.TQROWS * 128
         self.BR_TILED = int(os.environ.get("SEGALIGN_TBR", "0")) or 256
         # groups per tiled program: unlike the row engine (whose (B,)
         # starts must fit SMEM), the tiled kernel prefetches only
@@ -424,6 +440,7 @@ class DeviceAligner:
         host build can be replicated across devices (the reference uploads
         one host-built table to every GPU, seed_pos_table.cu:33-47)."""
         self.ref_len = len(ref_codes)
+        self._ref_host = np.ascontiguousarray(ref_codes, np.uint8)
         self._warm_fetch_paths()
         # right_pad covers the Pallas row-gather's aligned-superset DMA
         from ..ops.extend_pallas import awin_for
@@ -472,7 +489,7 @@ class DeviceAligner:
             from ..ops.extend_tiled import pad_sequence_2d
 
             def mk(c):
-                h2d = pad_sequence_2d(c, self.pad, self.TROWS,
+                h2d = pad_sequence_2d(c, self.pad, self.TQROWS,
                                       self.W_TILED, extra_right=rp)
                 flat = jax.device_put(h2d.reshape(-1), self.device)
                 two = (jax.device_put(h2d, self.device)
@@ -523,7 +540,20 @@ class DeviceAligner:
 
     def _finalize_batch(self, rs, qs, ln, total, counts, rev: bool):
         """Host entropy finalize + dedup of one logical hit batch.
-        Returns an (n, 4) int64 array or None."""
+        Returns an (n, 4) int64 array or None.
+
+        Lazy-entropy mode: `counts` arriving from the device are zeros;
+        recompute them here from the final extents, entropy-band rows
+        only (out-of-band rows have entropy == 1 and never read counts).
+        """
+        if self.lazy_counts and not self.noentropy:
+            from ..native import entropy_counts_host
+            band = (total >= self.hspthresh) & (total <= 3 * self.hspthresh)
+            counts = np.zeros((len(rs), 4), np.int64)
+            if band.any():
+                q = self._q_rc_host if rev else self._q_fw_host
+                counts[band] = entropy_counts_host(
+                    self._ref_host, q, rs[band], qs[band], ln[band])
         accepted, scores = finalize_candidates(
             rs, qs, ln, total, counts, self.hspthresh, self.noentropy)
         if not accepted.any():
@@ -644,7 +674,7 @@ class DeviceAligner:
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
                 pad=self.pad, W=self.ext_window, CONT=self.CONT,
                 engine=self.engine, W_CONT=self.W_CONT,
-                UNROLL=self.UNROLL)
+                UNROLL=self.UNROLL, with_counts=not self.lazy_counts)
             fin = dict(fin, orig=_orig_range(self.device, g0, B_prog))
             _dbg_sync("extend", fin["candidate"])
             fins.append(fin)
@@ -671,7 +701,7 @@ class DeviceAligner:
         BR = self.BR_TILED
         plan = plan_tiled_groups(ref_loc, query_loc, W=self.W_TILED,
                                  pad=self.pad, BR=BR, trows=self.TROWS,
-                                 qbucket=self.QBUCKET)
+                                 qbucket=self.QBUCKET, trows_q=self.TQROWS)
         tm.add("plan", time.time() - t0)
         ng = plan["ngroups"]
         GP = self.TGP
@@ -688,7 +718,9 @@ class DeviceAligner:
             rows4[2, :nr] = plan["valid"][p0 * BR:p1 * BR]
             rows4[3, :] = ORIG_INVALID
             rows4[3, :nr] = plan["orig"][p0 * BR:p1 * BR]
-            bases = np.zeros((2, gpad), np.int32)
+            # rbase -1 marks all-pad groups: the kernel skips their DMAs
+            # and compute entirely (class padding is then ~free)
+            bases = np.full((2, gpad), -1, np.int32)
             bases[0, :mg] = plan["rbase"][p0:p1]
             bases[1, :mg] = plan["qbase"][p0:p1]
             d_rows4 = jax.device_put(rows4, self.device)
@@ -703,7 +735,8 @@ class DeviceAligner:
                     pad=self.pad, W=self.W_TILED, CONT=self.CONT,
                     engine=self.engine, W_CONT=self.W_CONT,
                     UNROLL=self.UNROLL, BR=BR, TR=self.TROWS,
-                    TQ=self.TROWS, CBUF=cbuf)
+                    TQ=self.TQROWS, CBUF=cbuf,
+                    with_counts=not self.lazy_counts)
 
             total, packed = run(self.CBUF)
             _dbg_sync("extend", total)

@@ -220,7 +220,11 @@ def run_repeat_masker(cfg: RMConfig, out_dir: str,
             extra["max_hits"] = cfg.max_hits
         if not cfg.use_pallas:
             extra["use_pallas"] = False  # default (True) = auto: Pallas on TPU
-        aligner = MultiDeviceAligner(
+        aligner_cls = MultiDeviceAligner
+        if getattr(cfg, "sharded_table", False):
+            from ..parallel.sharded import ShardedAligner
+            aligner_cls = ShardedAligner
+        aligner = aligner_cls(
             num_devices=cfg.num_devices,
             shape_pos=cfg.seed.shape_pos, seed_size=cfg.seed.size,
             transition=cfg.seed.transition, step=cfg.step,

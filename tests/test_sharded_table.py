@@ -88,7 +88,7 @@ def test_sharded_matches_replicated(mesh):
             th, ns, counts, packed, ovf = jax.device_get(ext(
                 ref_pad, q_pad, index_shards, pos_shards, sub_flat,
                 np.int32(cs), np.int32(ce - cs), np.int32(n), np.int32(n),
-                np.int32(10**9)))
+                np.int32(10**9), np.int32(0), np.int32(1 << 30)))
             assert int(ovf) == 0
             assert int(th) == want.num_hits, (cs, ce, rev)
             assert int(ns) == want.num_seeds, (cs, ce, rev)
@@ -119,5 +119,5 @@ def test_sharded_overflow_detected(mesh):
         pad_sequence(ref, 512), pad_sequence(query, 512), index_shards,
         pos_shards, np.ascontiguousarray(sub.reshape(-1), np.int32),
         np.int32(0), np.int32(512), np.int32(n), np.int32(n),
-        np.int32(10**9)))
+        np.int32(10**9), np.int32(0), np.int32(1 << 30)))
     assert int(ovf) > 0
