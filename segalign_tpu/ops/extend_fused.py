@@ -541,6 +541,31 @@ def extend_fields_tiled(ref2d, q2d, rbase, qbase, rl, ql, valid, orig,
 
 @functools.partial(jax.jit,
                    static_argnames=("pad", "W", "CONT", "engine", "W_CONT",
+                                    "UNROLL", "BR", "TR", "TQ",
+                                    "with_counts"))
+def extend_fields_tiled_packed(ref2d, q2d, bases, rows4, sub_flat, xdrop,
+                               hspthresh, ref_len, query_len, *, pad: int,
+                               W: int = 512, CONT: int = 4096,
+                               engine: str = "pallas", W_CONT: int = 0,
+                               UNROLL: int = 4, BR: int = 256,
+                               TR: int = 256, TQ: int = 256,
+                               with_counts: bool = True):
+    """extend_fields_tiled with the host inputs stacked into TWO transfers
+    (bases: (2, ngroups) [rbase; qbase]; rows4: (4, ngroups*BR) [rl; ql;
+    valid; orig]) — each device_put costs a full tunnel round trip.
+    Returns the raw finalize fields as device arrays; candidate compaction
+    happens once per chunk-strand across ALL programs
+    (pipeline/device._pack_compact), so a CBUF overflow re-runs only the
+    cheap compaction, never the extension."""
+    return extend_fields_tiled.__wrapped__(
+        ref2d, q2d, bases[0], bases[1], rows4[0], rows4[1], rows4[2] != 0,
+        rows4[3], sub_flat, xdrop, hspthresh, ref_len, query_len, pad=pad,
+        W=W, CONT=CONT, engine=engine, W_CONT=W_CONT, UNROLL=UNROLL, BR=BR,
+        TR=TR, TQ=TQ, with_counts=with_counts)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad", "W", "CONT", "engine", "W_CONT",
                                     "UNROLL", "BR", "TR", "TQ", "CBUF",
                                     "with_counts"))
 def extend_compact_tiled(ref2d, q2d, bases, rows4, sub_flat, xdrop,

@@ -266,19 +266,24 @@ def _extract_windows_dual(tile_u8, loc_pad, base_row, BR, G, T):
     rows); the byte permutation within the row is one lane gather.
     Out-of-tile one-hot rows are all-zero — only reachable by carry rows
     whose lanes are never selected (the planner keeps real windows inside
-    the tile)."""
+    the tile).
+
+    All index arithmetic stays in 2-D (N, 128) form: the original 3-D
+    (BR, G2, 128) iota + where + divide chain MISCOMPILES under Mosaic at
+    G2 = 4 (W = 256) — compiled ridx came out off-by-2 vs interpret mode
+    on the same inputs (silently selecting the wrong tile rows, i.e.
+    garbage windows), while G2 = 8 (W = 512) compiled correctly. The 2-D
+    re-expression is bit-identical in interpret mode and compiles
+    correctly at every G."""
     G2 = 2 * G
     N = BR * G2
-    g3 = jax.lax.broadcasted_iota(jnp.int32, (BR, G2, 128), 1)
-    left3 = g3 < G
-    lp3 = jnp.broadcast_to(loc_pad.reshape(BR, 1, 1), (BR, G2, 128))
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 0) % G2
+    left = rowg < G
+    lp = _hit_bcast(loc_pad, BR, G2)
     # byte at lane 0 of each out-row
-    F3 = jnp.where(left3, lp3 - 1 - g3 * 128, lp3 + (g3 - G) * 128)
-    ridx3 = F3 // 128 - base_row
-    db3 = F3 - (F3 // 128) * 128
-    left = left3.reshape(N, 128)
-    ridx = ridx3.reshape(N, 128)
-    dc = db3.reshape(N, 128)
+    F = jnp.where(left, lp - 1 - rowg * 128, lp + (rowg - G) * 128)
+    ridx = F // 128 - base_row
+    dc = F - (F // 128) * 128
     tcol = jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)
     selA = (tcol == ridx[:, :1]).astype(jnp.bfloat16)
     ridx_b = ridx + jnp.where(left, -1, 1)

@@ -91,11 +91,31 @@ class MultiDeviceAligner:
         errors: List[BaseException] = []
         dead: set = set()
 
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        overlap = os.environ.get("SEGALIGN_OVERLAP", "") != "0"
+
         def worker(ai: int, aligner: DeviceAligner):
             pend: List[tuple] = []  # (i, w, PendingChunk)
+            futs: List[tuple] = []  # (i, w, Future) finishes in flight
             pipelined = aligner._native_seeder is not None
             cur: Optional[tuple] = None  # (i, w) being dispatched right now
             first = True
+            ex = (ThreadPoolExecutor(1) if pipelined and overlap else None)
+
+            def finish(j, wj, pd):
+                # overlap mode: the finisher thread's blocking candidate
+                # fetches + numpy finalize/dedup run concurrently with this
+                # thread's native seeding/planning of the next chunk (the
+                # same dispatch/finish split as DeviceAligner.map_chunks)
+                if ex is None:
+                    results[j] = aligner.finish_chunk(pd)
+                    return
+                futs.append((j, wj, ex.submit(aligner.finish_chunk, pd)))
+                while len(futs) > depth + 2:
+                    jj, _, f = futs.pop(0)
+                    results[jj] = f.result()
+
             try:
                 while True:
                     try:
@@ -124,25 +144,35 @@ class MultiDeviceAligner:
                             window=w.window)))
                         cur = None
                         if len(pend) > depth:
-                            j, _, pd = pend.pop(0)
-                            results[j] = aligner.finish_chunk(pd)
+                            finish(*pend.pop(0))
                     else:
                         results[i] = aligner.seed_and_filter(
                             w.chunk_start, w.chunk_end, w.rev,
                             window=w.window)
                         cur = None
                 while pend:
-                    j, _, pd = pend.pop(0)
-                    results[j] = aligner.finish_chunk(pd)
+                    finish(*pend.pop(0))
+                while futs:
+                    j, _, f = futs.pop(0)
+                    results[j] = f.result()
             except BaseException as e:
                 errors.append(e)
                 dead.add(ai)
-                # requeue everything this worker had in flight
+                # requeue everything this worker had in flight; completed
+                # finisher futures keep their results
+                for j, wj, f in futs:
+                    if f.done() and f.exception() is None:
+                        results[j] = f.result()
+                    elif results[j] is None:
+                        q.put((j, wj))
                 for j, wj, _ in pend:
                     if results[j] is None:
                         q.put((j, wj))
                 if cur is not None and results[cur[0]] is None:
                     q.put(cur)
+            finally:
+                if ex is not None:
+                    ex.shutdown(wait=True)
 
         threads = [threading.Thread(target=worker, args=(ai, a))
                    for ai, a in enumerate(self.aligners)]

@@ -192,9 +192,10 @@ class PendingChunk:
     # filtered hit stream kept on host for the rare CBUF-overflow re-run
     ref_loc: Optional[np.ndarray] = None
     query_loc: Optional[np.ndarray] = None
-    # tiled-engine path: one fused program per <= TGP groups, each a dict
-    # (total, packed, rerun) — compaction happened in-program
-    tprogs: Optional[list] = None
+    # tiled-engine path: fins' orig is in PLANNED (not hit) order, so the
+    # fetched rows need one host-side stable sort by orig before the
+    # logical-batch split (dedup tie-breaking depends on hit order)
+    sort_rows: bool = False
 
 
 # sentinel "orig" value for invalid rows: above any real hit index (hits
@@ -276,7 +277,7 @@ class DeviceAligner:
                  xdrop, hspthresh, noentropy, chunk_size,
                  max_hits: int = DEFAULT_MAX_HITS, HBUF: int = 1 << 17,
                  B: int = 1 << 14, W: int = 128, rm_mode: bool = False,
-                 twophase: bool = True, window: int = 256, device=None,
+                 twophase: bool = True, window: int = 512, device=None,
                  CBUF: int = 0, use_pallas: Optional[bool] = None):
         self.shape_pos = tuple(shape_pos)
         self.seed_size = seed_size
@@ -328,7 +329,12 @@ class DeviceAligner:
                     if twophase else W)
         # first-window width of the single-program extension engine
         # (SEGALIGN_WINDOW overrides; any width is exact — window
-        # decomposition independence is property-tested)
+        # decomposition independence is property-tested). Default 512
+        # (round-4 sweep on the repeat-structured bench: 256 -> 13.2s,
+        # 512 -> 11.4s, 1024 -> 15s+ — wider first windows kill more
+        # rows before the while-loop continuation, whose per-iteration
+        # stall dominates on candidate-dense data; 1024 overshoots the
+        # ~90% of hits that die within a few hundred bases)
         self.ext_window = (int(os.environ.get("SEGALIGN_WINDOW", "0"))
                            or window)
         # tiled first-window engine (ops/extend_tiled): groups of BR hits
@@ -511,20 +517,45 @@ class DeviceAligner:
 
         Keeps up to `depth` chunks in flight: host seeding of chunk k+1 and
         host finalize/dedup of chunk k-depth overlap the device programs of
-        chunks k-depth+1..k (JAX async dispatch)."""
+        chunks k-depth+1..k (JAX async dispatch). finish_chunk runs on a
+        dedicated finisher thread (SEGALIGN_OVERLAP=0 restores the serial
+        form): the dispatch thread's native seeding/planning (ctypes, GIL
+        released) then overlaps the finisher's blocking candidate fetches
+        and numpy finalize/dedup — the reference gets the same overlap from
+        separate TBB seeder/printer nodes (src/main.cpp:553-573)."""
         if self._native_seeder is None:
             return [self.seed_and_filter(w.chunk_start, w.chunk_end, w.rev,
                                          window=w.window) for w in work]
         from collections import deque
-        results = []
         pend: "deque[PendingChunk]" = deque()
-        for w in work:
-            pend.append(self.dispatch_chunk(w.chunk_start, w.chunk_end,
-                                            w.rev, window=w.window))
-            if len(pend) > depth:
+        if os.environ.get("SEGALIGN_OVERLAP", "") == "0" or len(work) <= 1:
+            results = []
+            for w in work:
+                pend.append(self.dispatch_chunk(w.chunk_start, w.chunk_end,
+                                                w.rev, window=w.window))
+                if len(pend) > depth:
+                    results.append(self.finish_chunk(pend.popleft()))
+            while pend:
                 results.append(self.finish_chunk(pend.popleft()))
-        while pend:
-            results.append(self.finish_chunk(pend.popleft()))
+            return results
+        from concurrent.futures import ThreadPoolExecutor
+        results = []
+        futs: "deque" = deque()
+        with ThreadPoolExecutor(1) as ex:
+            for w in work:
+                pend.append(self.dispatch_chunk(w.chunk_start, w.chunk_end,
+                                                w.rev, window=w.window))
+                if len(pend) > depth:
+                    futs.append(ex.submit(self.finish_chunk,
+                                          pend.popleft()))
+                # bound unfetched results: device candidate buffers stay
+                # alive until their finish runs
+                while len(futs) > depth + 2:
+                    results.append(futs.popleft().result())
+            while pend:
+                futs.append(ex.submit(self.finish_chunk, pend.popleft()))
+            while futs:
+                results.append(futs.popleft().result())
         return results
 
     # -- per-chunk call (analog of SeedAndFilter) ---------------------------
@@ -620,13 +651,10 @@ class DeviceAligner:
                      and self.engine in ("pallas", "pallas_interpret"))
         if use_tiled:
             q2d = self.q2d_rc if rev else self.q2d_fw
-            progs = self._dispatch_tiled(ref_loc, query_loc, q2d, tm)
-            totals = jnp.stack([pr["total"] for pr in progs])
-            return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
-                                num_hits, [], totals, None, seg_ends,
-                                tprogs=progs)
-        q_pad = self.q_rc if rev else self.q_fw
-        fins = self._dispatch_rows(ref_loc, query_loc, q_pad, n, tm)
+            fins = self._dispatch_tiled(ref_loc, query_loc, q2d, tm)
+        else:
+            q_pad = self.q_rc if rev else self.q_fw
+            fins = self._dispatch_rows(ref_loc, query_loc, q_pad, n, tm)
         t0 = time.time()
         # pad the program list to a power of two with all-invalid dummies:
         # _pack_compact then has one executable per size CLASS instead of
@@ -642,7 +670,7 @@ class DeviceAligner:
                 f"hits={num_hits}")
         return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
                             num_hits, fins_padded, total, out, seg_ends,
-                            ref_loc, query_loc)
+                            ref_loc, query_loc, sort_rows=use_tiled)
 
     def _dispatch_rows(self, ref_loc, query_loc, q_pad, n, tm):
         """Row-order extension programs (pre-tiled engine; still used for
@@ -691,12 +719,18 @@ class DeviceAligner:
     def _dispatch_tiled(self, ref_loc, query_loc, q2d, tm):
         """Tiled-engine dispatch: plan hit groups once per chunk-strand,
         then ONE fused device program per <= TGP groups (extension +
-        finalize + candidate compaction in-program), with all per-row
-        inputs stacked into a single transfer — the tunnel charges a
-        full round trip per device_put/call, which dominated the
-        many-program flow."""
+        finalize in-program), with all per-row inputs stacked into a
+        single transfer — the tunnel charges a full round trip per
+        device_put/call, which dominated the many-program flow. Returns
+        the per-program raw finalize fields (device-resident); candidate
+        compaction happens once per chunk-strand (_pack_compact), exactly
+        like the row path — so a CBUF overflow re-runs only the cheap
+        compaction, never the extension (the previous in-program
+        compaction paid a full re-extension PLUS a fresh ~25 s remote AOT
+        compile per escalation class: 12-25 s observed per overflowing
+        chunk on repeat-dense data)."""
         from ..ops.extend_tiled import plan_tiled_groups
-        from ..ops.extend_fused import extend_compact_tiled
+        from ..ops.extend_fused import extend_fields_tiled_packed
         t0 = time.time()
         BR = self.BR_TILED
         plan = plan_tiled_groups(ref_loc, query_loc, W=self.W_TILED,
@@ -705,7 +739,7 @@ class DeviceAligner:
         tm.add("plan", time.time() - t0)
         ng = plan["ngroups"]
         GP = self.TGP
-        progs = []
+        fins = []
         for p0 in range(0, ng, GP):
             t0 = time.time()
             p1 = min(p0 + GP, ng)
@@ -727,37 +761,21 @@ class DeviceAligner:
             d_bases = jax.device_put(bases, self.device)
             tm.add("h2d", time.time() - t0)
             t0 = time.time()
-
-            def run(cbuf, d_bases=d_bases, d_rows4=d_rows4):
-                return extend_compact_tiled(
-                    self.ref_2d, q2d, d_bases, d_rows4, self.sub_flat,
-                    self.xdrop, self.hspthresh, self.ref_len, self.q_len,
-                    pad=self.pad, W=self.W_TILED, CONT=self.CONT,
-                    engine=self.engine, W_CONT=self.W_CONT,
-                    UNROLL=self.UNROLL, BR=BR, TR=self.TROWS,
-                    TQ=self.TQROWS, CBUF=cbuf,
-                    with_counts=not self.lazy_counts)
-
-            total, packed = run(self.CBUF)
-            _dbg_sync("extend", total)
-            progs.append(dict(total=total, packed=packed, rerun=run))
+            fin = extend_fields_tiled_packed(
+                self.ref_2d, q2d, d_bases, d_rows4, self.sub_flat,
+                self.xdrop, self.hspthresh, self.ref_len, self.q_len,
+                pad=self.pad, W=self.W_TILED, CONT=self.CONT,
+                engine=self.engine, W_CONT=self.W_CONT,
+                UNROLL=self.UNROLL, BR=BR, TR=self.TROWS, TQ=self.TQROWS,
+                with_counts=not self.lazy_counts)
+            _dbg_sync("extend", fin["candidate"])
+            fins.append(fin)
             tm.add("extend", time.time() - t0)
-        return progs
-
-    @staticmethod
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def _stack_packed(packed_list, *, k: int):
-        """One (P, k, 10) block so finish pays ONE candidate fetch per
-        chunk-strand instead of one per program (each device_get is a
-        full tunnel round trip, and fetching program k's count forces a
-        sync before program k+1's)."""
-        return jnp.stack([p[:k] for p in packed_list])
+        return fins
 
     def finish_chunk(self, p: PendingChunk) -> ChunkResult:
         """Collect a dispatched chunk: D2H of compacted candidates, logical
         -batch split, host entropy finalize + dedup."""
-        if p.tprogs is not None:
-            return self._finish_tiled(p)
         if not p.fins:
             return ChunkResult(np.zeros((0, 4), np.int64), p.num_hits,
                                p.num_seeds)
@@ -782,53 +800,12 @@ class DeviceAligner:
         k = _bucket_for(total, out.shape[0])
         allrows = np.asarray(
             jax.device_get(_slice_rows(out, k=k))[:total], np.int64)
-        tm.add("d2h", time.time() - t0)
-
-        t0 = time.time()
-        hsps = self._split_and_finalize(allrows, p)
-        tm.add("host_dedup", time.time() - t0)
-        tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev} "
-                f"cand={len(allrows)}")
-        return ChunkResult(hsps, p.num_hits, p.num_seeds)
-
-    def _finish_tiled(self, p: PendingChunk) -> ChunkResult:
-        """Collect a tiled-engine chunk with exactly TWO device fetches:
-        the stacked per-program counts, then one stacked bucketed slice of
-        all programs' in-program-compacted candidates. CBUF overflow
-        re-runs that program at an escalated width (rare)."""
-        tm = _StageTimer(_TIMING)
-        t0 = time.time()
-        totals = np.asarray(jax.device_get(p.total), np.int64)
-        parts = []
-        tmax = int(totals.max()) if len(totals) else 0
-        if tmax > self.CBUF:
-            for pr, total in zip(p.tprogs, totals):
-                total = int(total)
-                if total == 0:
-                    continue
-                out = pr["packed"]
-                if total > out.shape[0]:
-                    cap = 1 << (total - 1).bit_length()
-                    _, out = pr["rerun"](cap)
-                k = _bucket_for(total, out.shape[0])
-                parts.append(np.asarray(
-                    jax.device_get(_slice_rows(out, k=k))[:total],
-                    np.int64))
-        elif tmax > 0:
-            k = _bucket_for(tmax, self.CBUF)
-            stacked = np.asarray(jax.device_get(self._stack_packed(
-                [pr["packed"] for pr in p.tprogs], k=k)), np.int64)
-            parts = [stacked[i, :int(t)] for i, t in enumerate(totals)
-                     if t > 0]
-        tm.add("d2h", time.time() - t0)
-        if not parts:
-            tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev}")
-            return ChunkResult(np.zeros((0, 4), np.int64), p.num_hits,
-                               p.num_seeds)
-        allrows = np.concatenate(parts)
-        if len(parts) > 1:
-            # per-program rows are orig-ordered; restore global order
+        if p.sort_rows and len(allrows) > 1:
+            # tiled fins: compaction order is planned order; restore
+            # original hit order (dedup tie-breaking depends on it)
             allrows = allrows[np.argsort(allrows[:, 0], kind="stable")]
+        tm.add("d2h", time.time() - t0)
+
         t0 = time.time()
         hsps = self._split_and_finalize(allrows, p)
         tm.add("host_dedup", time.time() - t0)
