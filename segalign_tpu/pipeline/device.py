@@ -196,6 +196,11 @@ class PendingChunk:
     # fetched rows need one host-side stable sort by orig before the
     # logical-batch split (dedup tie-breaking depends on hit order)
     sort_rows: bool = False
+    # whether _pack_compact ran with exact-duplicate removal; the
+    # escalated recompact must match (d_seg: the committed device
+    # seg_ends array it used)
+    dedup_exact: bool = False
+    d_seg: Optional[object] = None
 
 
 # sentinel "orig" value for invalid rows: above any real hit index (hits
@@ -203,8 +208,9 @@ class PendingChunk:
 ORIG_INVALID = 1 << 30
 
 
-@functools.partial(jax.jit, static_argnames=("TBUF",))
-def _pack_compact(fins, *, TBUF: int):
+@functools.partial(jax.jit, static_argnames=("TBUF", "dedup_exact"))
+def _pack_compact(fins, seg_ends=None, *, TBUF: int,
+                  dedup_exact: bool = False):
     """Compact the candidates of ALL per-program extension results into
     one (TBUF, 9) int32 block: orig_hit_idx, rs, qs, length, total,
     counts[4]. Row-engine fins arrive with MONOTONE orig (each program's
@@ -213,6 +219,21 @@ def _pack_compact(fins, *, TBUF: int):
     order already yields candidates in original hit order; no argsort
     needed (a stable sort at P x B rows was the expensive part of this
     program). The host's logical-batch split stays exact.
+
+    dedup_exact: drop candidates whose (rs, qs, length) extent exactly
+    equals another candidate's in the SAME logical batch (seg_ends: the
+    reference dedups per max_hits batch; rows are bucketed by
+    searchsorted over their orig exactly like the host split).
+    Bit-exact: identical extents have identical totals/counts, hence
+    identical entropy scores and acceptance, and thrust::unique_copy's
+    compare-against-last-KEPT chain is invariant under removing elements
+    it would drop — for exact duplicates, whatever drops/keeps the first
+    occurrence forces the same decision on the rest (the last-kept
+    element at the later occurrence has the same rs or a >= end).
+    Tandem-repeat diagonals produce thousands of hits that all extend to
+    the SAME maximal segment: one bench chunk had 779k candidates with
+    2.3k unique extents, costing a 28 MB fetch + 3 s host dedup + an
+    escalated recompact — this one device sort removes all of it.
 
     The on-device analog of compress_output + the D2H copy
     (/root/reference/src/seed_filter.cu:654-680,788), done once per
@@ -223,6 +244,33 @@ def _pack_compact(fins, *, TBUF: int):
     cand = jnp.concatenate([f["candidate"] for f in fins])
     orig = jnp.concatenate([f["orig"] for f in fins])
     n = cand.shape[0]
+    if dedup_exact:
+        # TWO int32 sort keys: (non-candidate bit << 30 | rs, qs) — block
+        # coords stay < 2^30 (blocks are <= 500 MB). length and the
+        # logical-batch id ride as PAYLOAD: a duplicate is only dropped
+        # when its sorted neighbor matches on all of (rs, qs, length,
+        # seg), so rows from different batches never dedup against each
+        # other, and identical triples separated by a different-length
+        # row within an equal (rs, qs) run are MISSED — harmless, the
+        # host chain still removes them; any surviving representative is
+        # equivalent because outputs carry extent values, not hit
+        # identity.
+        flat = lambda k: jnp.concatenate([f[k].reshape(-1) for f in fins])
+        rs_f, qs_f, ln_f = flat("rs"), flat("qs"), flat("length")
+        seg = jnp.searchsorted(seg_ends, orig,
+                               side="right").astype(jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        nc = jnp.logical_not(cand)
+        k1 = jnp.where(nc, jnp.int32(1) << 30, 0) + rs_f
+        s_k1, s_qs, s_ln, s_seg, s_idx = jax.lax.sort(
+            (k1, qs_f, ln_f, seg, idx), num_keys=2)
+        live = s_k1 < (1 << 30)
+        dup = ((s_k1[1:] == s_k1[:-1]) & (s_qs[1:] == s_qs[:-1])
+               & (s_ln[1:] == s_ln[:-1]) & (s_seg[1:] == s_seg[:-1])
+               & live[1:])
+        keep_sorted = live & jnp.concatenate(
+            [jnp.ones(1, bool), jnp.logical_not(dup)])
+        cand = jnp.zeros(n, bool).at[s_idx].set(keep_sorted)
     total = jnp.sum(cand.astype(jnp.int32))
     sel, _ = _alive_prefix(jnp.logical_not(cand), min(TBUF, n))
     sel = sel.astype(jnp.int32)
@@ -664,13 +712,29 @@ class DeviceAligner:
         p_pad = 1 << (P - 1).bit_length()
         dummy_size = fins[-1]["candidate"].shape[0]
         fins_padded = fins + [self._dummy_fin(dummy_size)] * (p_pad - P)
-        total, out = _pack_compact(fins_padded, TBUF=self.CBUF)
+        d_seg = self._seg_ends_dev(seg_ends)
+        total, out = _pack_compact(fins_padded, d_seg, TBUF=self.CBUF,
+                                   dedup_exact=d_seg is not None)
         tm.add("pack", time.time() - t0)
         tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
                 f"hits={num_hits}")
         return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
                             num_hits, fins_padded, total, out, seg_ends,
-                            ref_loc, query_loc, sort_rows=use_tiled)
+                            ref_loc, query_loc, sort_rows=use_tiled,
+                            dedup_exact=d_seg is not None, d_seg=d_seg)
+
+    def _seg_ends_dev(self, seg_ends) -> Optional[object]:
+        """Logical-batch end offsets as a committed pow2-padded device
+        array for _pack_compact's in-batch exact dedup (None when the
+        device dedup is disabled). Padding value 2^30 sorts above every
+        real orig, so pad slots never claim rows."""
+        if os.environ.get("SEGALIGN_DEDUP_DEVICE", "") == "0":
+            return None
+        nb = max(1, len(seg_ends))
+        cap = 1 << (nb - 1).bit_length()
+        buf = np.full(cap, 1 << 30, np.int32)
+        buf[:len(seg_ends)] = np.asarray(seg_ends, np.int64)
+        return jax.device_put(buf, self.device)
 
     def _dispatch_rows(self, ref_loc, query_loc, q_pad, n, tm):
         """Row-order extension programs (pre-tiled engine; still used for
@@ -791,7 +855,9 @@ class DeviceAligner:
             # out.shape[0]); no re-extension
             cap = sum(f["candidate"].shape[0] for f in p.fins)
             _, out = _pack_compact(
-                p.fins, TBUF=min(1 << (total - 1).bit_length(), cap))
+                p.fins, p.d_seg,
+                TBUF=min(1 << (total - 1).bit_length(), cap),
+                dedup_exact=p.dedup_exact)
             tm.add("recompact", time.time() - t0)
         if total == 0:
             tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev}")
