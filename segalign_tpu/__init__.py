@@ -37,13 +37,36 @@ def _setup_malloc_reuse():
         pass
 
 
+def _machine_tag() -> str:
+    """Short fingerprint of the host CPU's feature set.
+
+    XLA:CPU AOT artifacts embed the compile machine's feature list but the
+    persistent-cache KEY does not include it, so a cache dir shared across
+    heterogeneous hosts serves mismatched code (cpu_aot_loader warns of
+    SIGILL risk — observed here round 4). Keying the dir by the cpuinfo
+    flags hash makes each machine type its own cache; TPU executables are
+    keyed by chip type inside XLA already, so they lose nothing."""
+    import hashlib
+    import platform
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    h = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    return f"{tag}-{h}"
+    except OSError:
+        pass
+    return tag
+
+
 def _setup_jax_cache():
     cache = os.environ.get("SEGALIGN_JAX_CACHE", "")
     if cache in ("0", "off", "none"):
         return
     if not cache:
         cache = os.path.join(os.path.expanduser("~"), ".cache",
-                             "segalign_jax")
+                             "segalign_jax", _machine_tag())
     try:
         os.makedirs(cache, exist_ok=True)
         import jax

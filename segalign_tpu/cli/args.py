@@ -12,6 +12,38 @@ from ..constants import (
     DEFAULT_SEQ_BLOCK_SIZE_RM, VERSION)
 
 
+def _add_multihost_args(p: argparse.ArgumentParser) -> None:
+    """Multi-host launch flags (v1 replicate-and-partition scale-out,
+    parallel/distributed.py). Run the SAME command on every host with its
+    own --host_id; each host aligns a round-robin slice of the intervals
+    and writes its own output file (merge with sort -V, exactly like the
+    reference's tmp-file merge). Equivalent env vars:
+    SEGALIGN_NUM_HOSTS / SEGALIGN_HOST_ID / SEGALIGN_COORD."""
+    p.add_argument("--num_hosts", type=int, default=0,
+                   help="total number of cooperating hosts (launch this "
+                        "command once per host)")
+    p.add_argument("--host_id", type=int, default=-1,
+                   help="this host's id in [0, num_hosts)")
+    p.add_argument("--coordinator", default="",
+                   help="ip:port of host 0's jax.distributed coordinator "
+                        "(required for a multi-host device mesh, e.g. "
+                        "--sharded_table across hosts; optional for the "
+                        "replicated v1 mode, which needs no communication)")
+
+
+def apply_multihost_args(a) -> None:
+    """Export the CLI's multi-host flags as the SEGALIGN_* env contract
+    consumed by parallel.distributed.maybe_initialize_distributed (flags
+    win over pre-set env vars)."""
+    import os
+    if getattr(a, "num_hosts", 0) and a.num_hosts > 1:
+        os.environ["SEGALIGN_NUM_HOSTS"] = str(a.num_hosts)
+        if a.host_id >= 0:
+            os.environ["SEGALIGN_HOST_ID"] = str(a.host_id)
+        if a.coordinator:
+            os.environ["SEGALIGN_COORD"] = a.coordinator
+
+
 def build_pairwise_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="run_segalign",
@@ -66,6 +98,7 @@ def build_pairwise_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="skip intervals already recorded in the workdir's "
                         "manifest (requires --workdir)")
+    _add_multihost_args(p)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--version", action="version",
                    version=f"SegAlign-TPU Version: {VERSION}")
@@ -124,6 +157,7 @@ def build_rm_parser() -> argparse.ArgumentParser:
     p.add_argument("--workdir", default="",
                    help="pinned working directory (enables --resume)")
     p.add_argument("--resume", action="store_true")
+    _add_multihost_args(p)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--version", action="version",
                    version=f"SegAlign-TPU Version: {VERSION}")

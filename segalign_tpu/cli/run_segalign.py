@@ -27,7 +27,8 @@ import shutil
 import subprocess
 import sys
 
-from .args import build_pairwise_parser, pairwise_config_from_args
+from .args import (build_pairwise_parser, pairwise_config_from_args,
+                   apply_multihost_args)
 from ..output.gapped import (LastzPool, check_lastz_errors, have_lastz,
                              have_fa_to_two_bit)
 from ..output.merge import merge_outputs, sorted_glob
@@ -35,6 +36,7 @@ from ..output.merge import merge_outputs, sorted_glob
 
 def main(argv=None) -> int:
     args = build_pairwise_parser().parse_args(argv)
+    apply_multihost_args(args)
     if not args.target or not args.query:
         print("You must specify a target file and a query file",
               file=sys.stderr)

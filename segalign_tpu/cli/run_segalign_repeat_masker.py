@@ -12,7 +12,7 @@ import random
 import shutil
 import sys
 
-from .args import build_rm_parser, rm_config_from_args
+from .args import build_rm_parser, rm_config_from_args, apply_multihost_args
 from ..output.merge import sorted_glob
 
 HEADER = "#name1  zstart1 end1  name2 zstart2+  end2+\n"
@@ -20,6 +20,7 @@ HEADER = "#name1  zstart1 end1  name2 zstart2+  end2+\n"
 
 def main(argv=None) -> int:
     args = build_rm_parser().parse_args(argv)
+    apply_multihost_args(args)
     if not args.seq_file:
         print("You must specify a sequence file", file=sys.stderr)
         build_rm_parser().print_help(sys.stderr)

@@ -25,12 +25,13 @@ import jax
 import numpy as np
 
 from ..index.seed_table import build_seed_table
-from ..pipeline.device import DeviceAligner, ChunkResult
-
+from ..pipeline.device import DeviceAligner, ChunkResult, COMPILE_LOCK
 
 # One process-wide lock serializing first-compilations across device worker
-# threads (see MultiDeviceAligner.map_chunks).
-_COMPILE_LOCK = threading.Lock()
+# threads (see MultiDeviceAligner.map_chunks). Shared with the pipeline's
+# finish-side lazy compiles (escalated recompact) so finisher threads and
+# dispatch threads never cold-compile concurrently.
+_COMPILE_LOCK = COMPILE_LOCK
 
 
 @dataclass
@@ -48,7 +49,16 @@ class MultiDeviceAligner:
         if devices is None:
             import os
             platform = os.environ.get("SEGALIGN_DEVICES") or None
-            devices = jax.devices(platform)
+            # addressable devices only: under jax.distributed the global
+            # list includes other hosts' devices, which this process
+            # cannot device_put to (each host runs its own worker pool
+            # over its own chips; cross-host work splits by interval,
+            # parallel/distributed.py). Filtered from jax.devices() —
+            # jax.local_devices(backend=None) trips over the axon
+            # plugin's platform registration in this environment.
+            pidx = jax.process_index()
+            devices = [d for d in jax.devices(platform)
+                       if d.process_index == pidx]
             if num_devices > 0:
                 devices = devices[:num_devices]
         self.devices = devices
@@ -103,6 +113,20 @@ class MultiDeviceAligner:
             first = True
             ex = (ThreadPoolExecutor(1) if pipelined and overlap else None)
 
+            def drain_one():
+                # A failing finisher future must not lose its work item:
+                # requeue it for surviving workers BEFORE propagating (the
+                # outer handler requeues the rest; without this the popped
+                # item only resurfaced in the end-of-run straggler pass,
+                # serialized on one device).
+                jj, wjj, f = futs.pop(0)
+                try:
+                    results[jj] = f.result()
+                except BaseException:
+                    if results[jj] is None:
+                        q.put((jj, wjj))
+                    raise
+
             def finish(j, wj, pd):
                 # overlap mode: the finisher thread's blocking candidate
                 # fetches + numpy finalize/dedup run concurrently with this
@@ -113,8 +137,7 @@ class MultiDeviceAligner:
                     return
                 futs.append((j, wj, ex.submit(aligner.finish_chunk, pd)))
                 while len(futs) > depth + 2:
-                    jj, _, f = futs.pop(0)
-                    results[jj] = f.result()
+                    drain_one()
 
             try:
                 while True:
@@ -153,8 +176,7 @@ class MultiDeviceAligner:
                 while pend:
                     finish(*pend.pop(0))
                 while futs:
-                    j, _, f = futs.pop(0)
-                    results[j] = f.result()
+                    drain_one()
             except BaseException as e:
                 errors.append(e)
                 dead.add(ai)

@@ -45,17 +45,34 @@ _FORCE_DEVICE_SEEDING = os.environ.get("SEGALIGN_DEVICE_SEEDING", "") == "1"
 
 # SEGALIGN_TIMING=1 prints per-stage device timings to stderr
 _TIMING = os.environ.get("SEGALIGN_TIMING", "") == "1"
-# SEGALIGN_SYNC=1 synchronizes after every device program (debugging)
-_SYNC = os.environ.get("SEGALIGN_SYNC", "") == "1"
+
+
+def _sync_on() -> bool:
+    # SEGALIGN_SYNC=1 synchronizes after every device program (debugging
+    # + serial stage-time measurement; read dynamically so bench.py's
+    # breakdown pass can flip it mid-process)
+    return os.environ.get("SEGALIGN_SYNC", "") == "1"
 
 
 def _dbg_sync(tag, x):
-    if _SYNC:
+    if _sync_on():
         try:
             jax.block_until_ready(x)
         except Exception as e:
             raise RuntimeError(f"device program failed at stage "
                                f"'{tag}': {e}") from e
+
+
+# Cumulative per-stage host time across all chunks in this process
+# (seconds). Host-thread attribution: under async dispatch, "extend"
+# is dispatch time and the device wait surfaces in finish's "d2h".
+# bench.py reads this for the wall-time breakdown artifact; reset with
+# reset_stage_totals().
+STAGE_TOTALS: dict = {}
+
+
+def reset_stage_totals():
+    STAGE_TOTALS.clear()
 
 
 class _StageTimer:
@@ -66,6 +83,7 @@ class _StageTimer:
     def add(self, name, dt):
         if self.enabled:
             self.t[name] = self.t.get(name, 0.0) + dt
+        STAGE_TOTALS[name] = STAGE_TOTALS.get(name, 0.0) + dt
 
     def dump(self, prefix):
         if self.enabled and self.t:
@@ -206,6 +224,15 @@ class PendingChunk:
 # sentinel "orig" value for invalid rows: above any real hit index (hits
 # per chunk-strand are far below 2^30)
 ORIG_INVALID = 1 << 30
+
+# Serializes FIRST-time compiles across host threads: concurrent cold
+# compiles from N threads SIGSEGV XLA's compiler in this environment
+# (round-2 finding; see MultiDeviceAligner.map_chunks). Worker dispatch
+# threads take it for their first chunk; finish-side lazy compiles (the
+# rare escalated recompact — its pow2 width class may be new) take it
+# here so a finisher thread can't race another thread's cold compile.
+import threading
+COMPILE_LOCK = threading.Lock()
 
 
 @functools.partial(jax.jit, static_argnames=("TBUF", "dedup_exact"))
@@ -458,6 +485,8 @@ class DeviceAligner:
         self._q_fw_host = None
         self._q_rc_host = None
         self._dummy_fin_cache = None
+        from collections import OrderedDict
+        self._seg_cache: "OrderedDict" = OrderedDict()
 
     def _dummy_fin(self, size: int):
         """All-invalid extension-result fields used to pad the program
@@ -715,6 +744,7 @@ class DeviceAligner:
         d_seg = self._seg_ends_dev(seg_ends)
         total, out = _pack_compact(fins_padded, d_seg, TBUF=self.CBUF,
                                    dedup_exact=d_seg is not None)
+        _dbg_sync("pack", total)
         tm.add("pack", time.time() - t0)
         tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
                 f"hits={num_hits}")
@@ -727,14 +757,27 @@ class DeviceAligner:
         """Logical-batch end offsets as a committed pow2-padded device
         array for _pack_compact's in-batch exact dedup (None when the
         device dedup is disabled). Padding value 2^30 sorts above every
-        real orig, so pad slots never claim rows."""
+        real orig, so pad slots never claim rows.
+
+        Small LRU keyed by content: each device_put costs a full tunnel
+        round trip, and identical seg_ends repeat across strands/chunks
+        (e.g. equal hit counts in the common single-batch case)."""
         if os.environ.get("SEGALIGN_DEDUP_DEVICE", "") == "0":
             return None
         nb = max(1, len(seg_ends))
         cap = 1 << (nb - 1).bit_length()
         buf = np.full(cap, 1 << 30, np.int32)
         buf[:len(seg_ends)] = np.asarray(seg_ends, np.int64)
-        return jax.device_put(buf, self.device)
+        key = (id(self.device), buf.tobytes())
+        cached = self._seg_cache.get(key)
+        if cached is None:
+            cached = jax.device_put(buf, self.device)
+            self._seg_cache[key] = cached
+            if len(self._seg_cache) > 64:
+                self._seg_cache.pop(next(iter(self._seg_cache)))
+        else:
+            self._seg_cache.move_to_end(key)
+        return cached
 
     def _dispatch_rows(self, ref_loc, query_loc, q_pad, n, tm):
         """Row-order extension programs (pre-tiled engine; still used for
@@ -854,10 +897,15 @@ class DeviceAligner:
             # P x B_prog width: the escalated fetch below is sized by
             # out.shape[0]); no re-extension
             cap = sum(f["candidate"].shape[0] for f in p.fins)
-            _, out = _pack_compact(
-                p.fins, p.d_seg,
-                TBUF=min(1 << (total - 1).bit_length(), cap),
-                dedup_exact=p.dedup_exact)
+            with COMPILE_LOCK:
+                # may compile a new escalated width class; serialized so a
+                # finisher thread never cold-compiles concurrently with a
+                # dispatch thread (concurrent first compiles crash XLA
+                # in this environment)
+                _, out = _pack_compact(
+                    p.fins, p.d_seg,
+                    TBUF=min(1 << (total - 1).bit_length(), cap),
+                    dedup_exact=p.dedup_exact)
             tm.add("recompact", time.time() - t0)
         if total == 0:
             tm.dump(f"finish {p.chunk_start}:{p.chunk_end} rev={p.rev}")

@@ -52,6 +52,54 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+def test_multihost_cli_flags(tmp_path):
+    """Multi-host launch through the CLI surface (--num_hosts/--host_id):
+    two CLI processes each align their interval slice; outputs are
+    disjoint and their union equals the single-host run. v1 replicated
+    mode needs no coordinator (parallel/distributed.py), so the
+    processes run independently — the same one-command-per-host UX as
+    the reference's driver."""
+    import numpy as np
+    from segalign_tpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(5)
+    bases = "ACGT"
+    core = "".join(bases[i] for i in rng.integers(0, 4, 400))
+    t_chr = ("".join(bases[i] for i in rng.integers(0, 4, 300)) + core
+             + "".join(bases[i] for i in rng.integers(0, 4, 800)) + core)
+    q_chr = ("".join(bases[i] for i in rng.integers(0, 4, 150)) + core
+             + "".join(bases[i] for i in rng.integers(0, 4, 1000)))
+    ref_fa, query_fa = str(tmp_path / "t.fa"), str(tmp_path / "q.fa")
+    write_fasta(ref_fa, [("t", t_chr)])
+    write_fasta(query_fa, [("q", q_chr)])
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               SEGALIGN_DEVICES="cpu")
+    env.pop("PYTHONPATH", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(outfile, extra):
+        cmd = [sys.executable, "-m", "segalign_tpu.cli.run_segalign",
+               ref_fa, query_fa, "--nogapped", "--hspthresh", "1500",
+               "--noentropy", "--wga_chunk_size", "512",
+               "--lastz_interval_size", "600", "--output", outfile] + extra
+        r = subprocess.run(cmd, env=env, cwd=repo, capture_output=True,
+                           text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        if not os.path.exists(outfile):   # slice with no alignments
+            return set()
+        with open(outfile) as f:
+            return set(ln for ln in f.read().splitlines() if ln)
+
+    single = run(str(tmp_path / "single.segments"), [])
+    parts = [run(str(tmp_path / f"host{h}.segments"),
+                 ["--num_hosts", "2", "--host_id", str(h)])
+             for h in (0, 1)]
+    assert parts[0] & parts[1] == set(), "hosts overlapped on intervals"
+    assert parts[0] | parts[1] == single
+    assert single  # non-trivial
+
+
 def test_two_process_distributed(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -29,6 +29,24 @@ def _dense_pair(rng, n=3000):
     return ref, query
 
 
+def _many_extents_pair(rng, n=3000):
+    """A pair where single query chunks see MANY DISTINCT candidate
+    extents: 12 copies of one exact 300 bp core scattered through the
+    ref, two copies in the query. Every (ref copy, query copy) pair is
+    its own diagonal -> its own maximal extent, so the on-device exact
+    dedup (_pack_compact dedup_exact) CANNOT collapse the chunk below
+    CBUF=8 — the escalated recompact stays exercised with dedup on."""
+    ref = rng.integers(0, 4, n).astype(np.uint8)
+    query = rng.integers(0, 4, n).astype(np.uint8)
+    core = rng.integers(0, 4, 300).astype(np.uint8)
+    for i in range(12):
+        p = 60 + i * 235
+        ref[p:p + 300] = core
+    for p in (400, 1700):
+        query[p:p + 300] = core
+    return ref, query
+
+
 def _mk(sc, sub, cbuf, hbuf=512):
     return DeviceAligner(
         shape_pos=sc.shape_pos, seed_size=sc.size, transition=sc.transition,
@@ -37,11 +55,11 @@ def _mk(sc, sub, cbuf, hbuf=512):
         CBUF=cbuf)
 
 
-def test_tbuf_overflow_escalation_is_exact():
-    rng = np.random.default_rng(11)
+def _run_overflow_case(make_pair, seed):
+    rng = np.random.default_rng(seed)
     sc = make_seed_config("12of19")
     sub = build_substitution_matrix(910)
-    ref, query = _dense_pair(rng)
+    ref, query = make_pair(rng)
     qrc = RC[query[::-1]]
 
     big = _mk(sc, sub, cbuf=2048)  # never overflows
@@ -67,6 +85,26 @@ def test_tbuf_overflow_escalation_is_exact():
             np.testing.assert_array_equal(got.hsps, want.hsps,
                                           err_msg=f"{cs}:{ce} rev={rev}")
     assert overflowed > 0  # the escalation was actually exercised
+
+
+def test_tbuf_overflow_escalation_is_exact():
+    """With the default on-device exact dedup: needs many DISTINCT
+    extents per chunk to overflow CBUF=8 (a single repeated extent is
+    collapsed on device before compaction)."""
+    _run_overflow_case(_many_extents_pair, seed=11)
+
+
+def test_tbuf_overflow_escalation_without_device_dedup():
+    """The dedup-off escalation variant: a single dense exact repeat
+    floods the compaction with duplicate extents; SEGALIGN_DEDUP_DEVICE=0
+    keeps them on device so the overflow recompact runs in its original
+    (no-dedup) form."""
+    import os
+    os.environ["SEGALIGN_DEDUP_DEVICE"] = "0"
+    try:
+        _run_overflow_case(_dense_pair, seed=11)
+    finally:
+        del os.environ["SEGALIGN_DEDUP_DEVICE"]
 
 
 def test_pipelined_map_chunks_matches_sequential():
