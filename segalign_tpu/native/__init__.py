@@ -84,20 +84,6 @@ def get_lib():
             u8p, ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p]
         lib.build_seed_table_native.restype = ctypes.c_int64
-        u64p = ctypes.POINTER(ctypes.c_uint64)
-        lib.plan_tiled_sort.argtypes = [
-            i32p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            u64p, u64p, i32p]
-        lib.plan_tiled_sort.restype = ctypes.c_int64
-        lib.plan_tiled_stage1.argtypes = [
-            i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
-        lib.plan_tiled_stage1.restype = ctypes.c_int64
-        lib.plan_tiled_fill.argtypes = [
-            i32p, i32p, i32p, i64p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, u8p,
-            i32p, i32p]
-        lib.plan_tiled_fill.restype = None
         lib.entropy_counts.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64, i64p, i64p, i64p,
             ctypes.c_int64, i64p]
@@ -227,80 +213,6 @@ def gapped_extend_native(ref_codes, query_codes, sub8x8, gap_open,
         return None
     return (int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]),
             int(meta[4]), bytes(ops[:n]))
-
-
-# Per-thread sort scratch: MultiDeviceAligner runs dispatch_chunk on one
-# thread per device, and concurrent plans sharing buffers would corrupt
-# the sort order silently (windows crossing tile bounds -> garbage
-# scores). Buffers are thread-cached rather than freshly allocated: fresh
-# large allocations page-fault pathologically on this VM's lazily-backed
-# memory.
-_PLAN_SCRATCH = threading.local()
-
-
-def plan_tiled_sort_native(ref_loc: np.ndarray, query_loc: np.ndarray,
-                           qbucket: int, nthreads: int = 0):
-    """Stable (query_loc // qbucket, ref_loc) sort of hit indices.
-    Returns the order array or None when the native lib is unavailable."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    n = len(ref_loc)
-    if n == 0:
-        return np.empty(0, np.int32)
-    scratch = getattr(_PLAN_SCRATCH, "bufs", None)
-    if scratch is None:
-        scratch = _PLAN_SCRATCH.bufs = [
-            np.zeros(0, np.uint64), np.zeros(0, np.uint64),
-            np.zeros(0, np.int32)]
-    if len(scratch[0]) < n:
-        cap = max(n, 2 * len(scratch[0]))
-        scratch[0] = np.zeros(cap, np.uint64)
-        scratch[1] = np.zeros(cap, np.uint64)
-        scratch[2] = np.zeros(cap, np.int32)
-    keys, tmp, order = scratch
-    ref_loc = np.ascontiguousarray(ref_loc, np.int32)
-    query_loc = np.ascontiguousarray(query_loc, np.int32)
-    u64p = ctypes.POINTER(ctypes.c_uint64)
-    rc = lib.plan_tiled_sort(_as_i32p(ref_loc), _as_i32p(query_loc), n,
-                             qbucket, nthreads or (os.cpu_count() or 1),
-                             keys.ctypes.data_as(u64p),
-                             tmp.ctypes.data_as(u64p), _as_i32p(order))
-    return order[:n].copy() if rc == 0 else None
-
-
-def plan_tiled_groups_native(ref_loc, query_loc, *, W: int, pad: int,
-                             BR: int, cap: int, qbucket: int):
-    """Full tiled-extension plan in C++ (sort + grouping + padded fill).
-    Same output contract as ops/extend_tiled.plan_tiled_groups; returns
-    None when the native lib is unavailable."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    n = len(ref_loc)
-    order = plan_tiled_sort_native(ref_loc, query_loc, qbucket)
-    if order is None:
-        return None
-    ref_loc = np.ascontiguousarray(ref_loc, np.int32)
-    query_loc = np.ascontiguousarray(query_loc, np.int32)
-    gs = np.empty(n + 1, np.int64)
-    ng = int(lib.plan_tiled_stage1(
-        _as_i32p(ref_loc), _as_i32p(query_loc), n, _as_i32p(order),
-        qbucket, cap, pad - W, BR, _as_i64p(gs)))
-    rl_p = np.empty(ng * BR, np.int32)
-    ql_p = np.empty(ng * BR, np.int32)
-    orig = np.empty(ng * BR, np.int32)
-    valid = np.empty(ng * BR, np.uint8)
-    rbase = np.empty(ng, np.int32)
-    qbase = np.empty(ng, np.int32)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.plan_tiled_fill(
-        _as_i32p(ref_loc), _as_i32p(query_loc), _as_i32p(order),
-        _as_i64p(gs), ng, BR, pad - W, qbucket, _as_i32p(rl_p),
-        _as_i32p(ql_p), _as_i32p(orig), valid.ctypes.data_as(u8p),
-        _as_i32p(rbase), _as_i32p(qbase))
-    return dict(rl=rl_p, ql=ql_p, valid=valid.astype(bool), orig=orig,
-                rbase=rbase, qbase=qbase, ngroups=ng)
 
 
 def entropy_counts_host(ref_codes: np.ndarray, q_codes: np.ndarray,

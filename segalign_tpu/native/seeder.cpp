@@ -352,162 +352,3 @@ int64_t build_seed_table_native(const uint8_t* codes, int64_t ref_len,
 }
 
 }  // extern "C"
-
-// ---------------------------------------------------------------------------
-// Tiled-extension plan sort (round-3 engine, ops/extend_tiled.py): order
-// hits by (query bucket, ref position) so consecutive hits share reference
-// AND query tiles. Counting sort by bucket, then per-bucket LSD radix over
-// packed (ref_loc << 32 | idx) u64 keys — stable, ~10x numpy's int64
-// argsort at 775k hits. The grouping/padding passes stay in numpy
-// (vectorized, cheap).
-
-namespace {
-
-static void radix_sort_u64(uint64_t* a, uint64_t* tmp, int64_t n,
-                           int shift_hi) {
-    // LSD over bits [32, 32+shift_hi) in 11-bit digits (idx bits below 32
-    // keep stability for equal keys automatically: they start in input
-    // order and LSD radix is stable)
-    constexpr int DB = 11;
-    constexpr int64_t R = 1 << DB;
-    int passes = (shift_hi + DB - 1) / DB;
-    for (int p = 0; p < passes; p++) {
-        int sh = 32 + p * DB;
-        int64_t hist[R] = {0};
-        for (int64_t i = 0; i < n; i++) hist[(a[i] >> sh) & (R - 1)]++;
-        int64_t sum = 0;
-        for (int64_t d = 0; d < R; d++) {
-            int64_t c = hist[d];
-            hist[d] = sum;
-            sum += c;
-        }
-        for (int64_t i = 0; i < n; i++)
-            tmp[hist[(a[i] >> sh) & (R - 1)]++] = a[i];
-        std::swap(a, tmp);
-    }
-    if (passes & 1) std::memcpy(tmp, a, size_t(n) * 8);  // result -> caller's a
-}
-
-}  // namespace
-
-extern "C" {
-
-// Stable sort of hit indices by (query_loc / qbucket, ref_loc).
-// order_out[n]; keys/tmp are caller-owned u64[n] scratch (reused across
-// calls — fresh allocations page-fault pathologically on this VM).
-int64_t plan_tiled_sort(const int32_t* rl, const int32_t* ql, int64_t n,
-                        int64_t qbucket, int64_t nthreads,
-                        uint64_t* keys, uint64_t* tmp, int32_t* order_out) {
-    if (n <= 0) return 0;
-    int64_t nbuckets = 0;
-    for (int64_t i = 0; i < n; i++) {
-        int32_t b = int32_t(ql[i] / qbucket);
-        if (b + 1 > nbuckets) nbuckets = b + 1;
-    }
-    std::vector<int64_t> off(size_t(nbuckets) + 1, 0);
-    for (int64_t i = 0; i < n; i++) off[size_t(ql[i] / qbucket) + 1]++;
-    for (int64_t b = 0; b < nbuckets; b++) off[size_t(b) + 1] += off[size_t(b)];
-    {
-        std::vector<int64_t> cur(off.begin(), off.end() - 1);
-        for (int64_t i = 0; i < n; i++) {
-            int64_t d = cur[size_t(ql[i] / qbucket)]++;
-            keys[size_t(d)] = (uint64_t(uint32_t(rl[i])) << 32)
-                              | uint64_t(uint32_t(i));
-        }
-    }
-    // per-bucket radix (threaded over buckets)
-    int nt = int(std::min<int64_t>(std::max<int64_t>(nthreads, 1), 16));
-    std::vector<std::thread> ths;
-    std::vector<int64_t> bnext(1, 0);
-    auto work = [&](int t) {
-        for (int64_t b = t; b < nbuckets; b += nt) {
-            int64_t lo = off[size_t(b)], hi = off[size_t(b) + 1];
-            int64_t m = hi - lo;
-            if (m <= 1) continue;
-            if (m < 512) {
-                std::sort(keys + lo, keys + hi);
-            } else {
-                radix_sort_u64(keys + lo, tmp + lo, m, 31);
-            }
-        }
-    };
-    if (nt == 1) {
-        work(0);
-    } else {
-        for (int t = 0; t < nt; t++) ths.emplace_back(work, t);
-        for (auto& th : ths) th.join();
-    }
-    for (int64_t i = 0; i < n; i++)
-        order_out[i] = int32_t(keys[size_t(i)] & 0xffffffffu);
-    return 0;
-}
-
-}  // extern "C"
-
-// Grouping stage of the tiled-extension plan: after plan_tiled_sort,
-// compute group boundaries (cells = (q bucket, window-start / cap), then
-// chunks of BR) and fill the padded per-row/per-group arrays. The numpy
-// fallback in ops/extend_tiled.py implements the same logic; grouping is
-// scheduling-only (results are bit-exact for ANY grouping that keeps each
-// group's windows inside its tiles).
-
-extern "C" {
-
-// Returns ngroups; writes group start indices (into the sorted order) to
-// group_start_out[ngroups+1] (capacity n+1).
-int64_t plan_tiled_stage1(const int32_t* rl, const int32_t* ql, int64_t n,
-                          const int32_t* order, int64_t qbucket,
-                          int64_t cap, int64_t padW, int64_t BR,
-                          int64_t* group_start_out) {
-    if (n <= 0) return 0;
-    int64_t ng = 0;
-    int64_t cell_b = -1, cell_r = -1, cnt = 0;
-    for (int64_t i = 0; i < n; i++) {
-        int64_t j = order[i];
-        int64_t b = ql[j] / qbucket;
-        int64_t rc = (int64_t(rl[j]) + padW) / cap;
-        if (b != cell_b || rc != cell_r || cnt >= BR) {
-            group_start_out[ng++] = i;
-            cell_b = b;
-            cell_r = rc;
-            cnt = 0;
-        }
-        cnt++;
-    }
-    group_start_out[ng] = n;
-    return ng;
-}
-
-void plan_tiled_fill(const int32_t* rl, const int32_t* ql,
-                     const int32_t* order, const int64_t* group_start,
-                     int64_t ngroups, int64_t BR, int64_t padW,
-                     int64_t qbucket, int32_t* rl_p, int32_t* ql_p,
-                     int32_t* orig, uint8_t* valid, int32_t* rbase,
-                     int32_t* qbase) {
-    for (int64_t g = 0; g < ngroups; g++) {
-        int64_t lo = group_start[g], hi = group_start[g + 1];
-        int64_t first = order[lo];
-        int64_t rs0 = int64_t(rl[first]) + padW;
-        rbase[g] = int32_t((rs0 / 1024) * 8);
-        int64_t qs_low = (int64_t(ql[first]) / qbucket) * qbucket + padW;
-        qbase[g] = int32_t((qs_low / 1024) * 8);
-        int64_t dst = g * BR;
-        for (int64_t i = lo; i < hi; i++) {
-            int64_t j = order[i];
-            rl_p[dst] = rl[j];
-            ql_p[dst] = ql[j];
-            orig[dst] = int32_t(j);
-            valid[dst] = 1;
-            dst++;
-        }
-        for (int64_t i = hi - lo; i < BR; i++) {
-            rl_p[dst] = rl[first];
-            ql_p[dst] = ql[first];
-            orig[dst] = 0;
-            valid[dst] = 0;
-            dst++;
-        }
-    }
-}
-
-}  // extern "C"

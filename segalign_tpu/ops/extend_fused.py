@@ -358,7 +358,10 @@ def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
         awin_for
     AW = awin_for(2 * W)
     B = loc_r.shape[0]
-    BR = min(256, B, max(8, (1 << 17) // (2 * W)))
+    # power-of-two block height: must be a multiple of 8 AND divide the
+    # pow2 batch B (W=768 used to floor to 85 and crash the lowering)
+    budget = max(8, (1 << 17) // (2 * W))
+    BR = min(256, B, 1 << (budget.bit_length() - 1))
     r_start = jnp.clip(pad + loc_r - W, 0, seq_r.shape[0] - AW)
     q_start = jnp.clip(pad + loc_q - W, 0, seq_q.shape[0] - AW)
     r2 = gather_rows_pallas(seq_r, r_start, W=2 * W, BR=min(256, B),
@@ -492,125 +495,6 @@ def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
                         pad=pad, W=W, CONT=CONT, engine=engine,
                         W_CONT=W_CONT, UNROLL=UNROLL,
                         with_counts=with_counts)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("pad", "W", "CONT", "engine", "W_CONT",
-                                    "UNROLL", "BR", "TR", "TQ",
-                                    "with_counts"))
-def extend_fields_tiled(ref2d, q2d, rbase, qbase, rl, ql, valid, orig,
-                        sub_flat, xdrop, hspthresh, ref_len, query_len, *,
-                        pad: int, W: int = 512, CONT: int = 4096,
-                        engine: str = "pallas", W_CONT: int = 0,
-                        UNROLL: int = 4, BR: int = 256, TR: int = 256,
-                        TQ: int = 256, with_counts: bool = True):
-    """Tiled-engine analog of extend_fields_program: rows come PLANNED
-    (ops/extend_tiled.plan_tiled_groups order), the first windows run in
-    the fused tile kernel (one r-tile + one q-tile DMA per BR-hit group,
-    MXU one-hot extraction, tall dual scan), and the continuation +
-    finalize reuse the unchanged engine. Returns the raw finalize fields
-    plus the carried original hit index ("orig") for order-restoring
-    compaction."""
-    from .extend_tiled import first_scan_tiled
-    interpret = engine == "pallas_interpret"
-    st_r0, st_l0 = first_scan_tiled(
-        ref2d, q2d, rbase, qbase, rl, ql, valid, sub_flat, xdrop, ref_len,
-        query_len, W=W, pad=pad, BR=BR, TR=TR, TQ=TQ, interpret=interpret,
-        with_counts=with_counts)
-    na_r = jnp.sum(jnp.logical_not(st_r0["done"]).astype(jnp.int32))
-    na_l = jnp.sum(jnp.logical_not(st_l0["done"]).astype(jnp.int32))
-    seq_r = ref2d.reshape(-1)
-    seq_q = q2d.reshape(-1)
-    kw = dict(pad=pad, W=W, CONT=CONT, engine=engine, W_CONT=W_CONT,
-              UNROLL=UNROLL, with_counts=with_counts)
-    if _USE_JOINT_TAIL:
-        st_r, st_l = _run_tails_joint(
-            seq_r, seq_q, rl, ql, st_r0, na_r, st_l0, na_l, sub_flat,
-            xdrop, ref_len, query_len, **kw)
-    else:
-        st_r = _run_tail(seq_r, seq_q, rl, ql, st_r0, na_r, sub_flat,
-                         xdrop, ref_len, query_len, left=False, **kw)
-        st_l = _run_tail(seq_r, seq_q, rl, ql, st_l0, na_l, sub_flat,
-                         xdrop, ref_len, query_len, left=True, **kw)
-    fin = _finalize.__wrapped__(valid, rl, ql, st_r["maxv"], st_r["maxp"],
-                                st_l["maxv"], st_l["maxp"],
-                                st_r["counts"] + st_l["counts"], hspthresh)
-    fin["orig"] = orig
-    return fin
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("pad", "W", "CONT", "engine", "W_CONT",
-                                    "UNROLL", "BR", "TR", "TQ",
-                                    "with_counts"))
-def extend_fields_tiled_packed(ref2d, q2d, bases, rows4, sub_flat, xdrop,
-                               hspthresh, ref_len, query_len, *, pad: int,
-                               W: int = 512, CONT: int = 4096,
-                               engine: str = "pallas", W_CONT: int = 0,
-                               UNROLL: int = 4, BR: int = 256,
-                               TR: int = 256, TQ: int = 256,
-                               with_counts: bool = True):
-    """extend_fields_tiled with the host inputs stacked into TWO transfers
-    (bases: (2, ngroups) [rbase; qbase]; rows4: (4, ngroups*BR) [rl; ql;
-    valid; orig]) — each device_put costs a full tunnel round trip.
-    Returns the raw finalize fields as device arrays; candidate compaction
-    happens once per chunk-strand across ALL programs
-    (pipeline/device._pack_compact), so a CBUF overflow re-runs only the
-    cheap compaction, never the extension."""
-    return extend_fields_tiled.__wrapped__(
-        ref2d, q2d, bases[0], bases[1], rows4[0], rows4[1], rows4[2] != 0,
-        rows4[3], sub_flat, xdrop, hspthresh, ref_len, query_len, pad=pad,
-        W=W, CONT=CONT, engine=engine, W_CONT=W_CONT, UNROLL=UNROLL, BR=BR,
-        TR=TR, TQ=TQ, with_counts=with_counts)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("pad", "W", "CONT", "engine", "W_CONT",
-                                    "UNROLL", "BR", "TR", "TQ", "CBUF",
-                                    "with_counts"))
-def extend_compact_tiled(ref2d, q2d, bases, rows4, sub_flat, xdrop,
-                         hspthresh, ref_len, query_len, *, pad: int,
-                         W: int = 512, CONT: int = 4096,
-                         engine: str = "pallas", W_CONT: int = 0,
-                         UNROLL: int = 4, BR: int = 256, TR: int = 768,
-                         TQ: int = 768, CBUF: int = 16384,
-                         with_counts: bool = True):
-    """ONE device program per chunk-strand: tiled first windows +
-    continuation + finalize + candidate compaction.
-
-    bases: (2, ngroups) int32 [rbase; qbase]; rows4: (4, ngroups*BR)
-    int32 [rl; ql; valid; orig] — stacked so the host pays TWO transfers
-    per chunk-strand instead of six per program (each device_put costs a
-    full tunnel round trip). Returns (total, packed (CBUF, 10)): packed
-    rows are orig, rs, qs, length, total, counts[4] for candidates in
-    original hit order (the on-device analog of compress_output + D2H,
-    /root/reference/src/seed_filter.cu:654-680,788)."""
-    rbase, qbase = bases[0], bases[1]
-    rl, ql = rows4[0], rows4[1]
-    valid = rows4[2] != 0
-    orig = rows4[3]
-    fin = extend_fields_tiled.__wrapped__(
-        ref2d, q2d, rbase, qbase, rl, ql, valid, orig, sub_flat, xdrop,
-        hspthresh, ref_len, query_len, pad=pad, W=W, CONT=CONT,
-        engine=engine, W_CONT=W_CONT, UNROLL=UNROLL, BR=BR, TR=TR, TQ=TQ,
-        with_counts=with_counts)
-    cand = fin["candidate"]
-    total = jnp.sum(cand.astype(jnp.int32))
-    # compact candidates in ROW order via cumsum selection (a full B-row
-    # argsort at B = 2^18+ is the costly part), then restore original hit
-    # order with a small CBUF-row sort; slots past `total` key to INF so
-    # clamp-duplicates sort last (the host reads only [:total])
-    tgt, _cum = _alive_prefix(jnp.logical_not(cand), CBUF)
-    row_ok = jnp.arange(CBUF, dtype=jnp.int32) < total
-    key = jnp.where(row_ok, jnp.take(orig, tgt), jnp.int32(1 << 30))
-    perm = jnp.argsort(key, stable=True)
-    sel = jnp.take(tgt, perm).astype(jnp.int32)
-    take = lambda k: jnp.take(fin[k], sel, axis=0)
-    packed = jnp.concatenate([
-        jnp.take(orig, sel)[:, None], take("rs")[:, None],
-        take("qs")[:, None], take("length")[:, None],
-        take("total")[:, None], take("counts")], axis=1)
-    return total, packed
 
 
 @functools.partial(jax.jit,

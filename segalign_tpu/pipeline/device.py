@@ -210,10 +210,6 @@ class PendingChunk:
     # filtered hit stream kept on host for the rare CBUF-overflow re-run
     ref_loc: Optional[np.ndarray] = None
     query_loc: Optional[np.ndarray] = None
-    # tiled-engine path: fins' orig is in PLANNED (not hit) order, so the
-    # fetched rows need one host-side stable sort by orig before the
-    # logical-batch split (dedup tie-breaking depends on hit order)
-    sort_rows: bool = False
     # whether _pack_compact ran with exact-duplicate removal; the
     # escalated recompact must match (d_seg: the committed device
     # seg_ends array it used)
@@ -372,8 +368,13 @@ class DeviceAligner:
         # starts into SMEM (1 MB on v5e), so B <= 2^17.
         self.HBUF = HBUF
         # live-row capacity of one continuation round (extend_fused
-        # ._run_tail); scheduling-only, results are exact for any value
-        self.CONT = int(os.environ.get("SEGALIGN_CONT", "0")) or 4096
+        # ._run_tail); scheduling-only, results are exact for any value.
+        # Default 16384 (round-5 sweep on the repeat-structured bench:
+        # 4096 -> 9.35 s, 8192 -> 9.42, 16384 -> 7.67, 32768 -> 8.07
+        # steady-state — repeat-dense chunks have tens of thousands of
+        # first-window survivors, and every extra cohort round costs a
+        # data-dependent while_loop's fixed stalls)
+        self.CONT = int(os.environ.get("SEGALIGN_CONT", "0")) or 16384
         # global candidate-compaction width per chunk-strand: all programs'
         # candidates are packed into one (CBUF, 9) device block before D2H
         # (_pack_compact); the fetch is bucketed by the true candidate
@@ -392,15 +393,11 @@ class DeviceAligner:
         # 2 beats 4 beats 8 — overshoot waste outweighs the saved
         # per-iteration stalls at W_CONT=2048)
         self.UNROLL = int(os.environ.get("SEGALIGN_UNROLL", "0")) or 2
-        # tiled first-window width (read BEFORE self.pad: padding must
-        # cover its reach too, and a SEGALIGN_TWINDOW above the old 512
-        # floor would otherwise send window-start bytes negative)
-        self.W_TILED = int(os.environ.get("SEGALIGN_TWINDOW", "0")) or 512
-        assert self.W_TILED % 128 == 0, self.W_TILED
         # the extender gathers slices up to max(window, W_CONT) wide either
         # side of each anchor; padding must cover the farthest reach
-        # (including the tiled first window)
-        self.pad = (max(W, window, self.W_CONT, self.W_TILED)
+        # (512 floor keeps shapes identical to earlier rounds' compiled
+        # executables)
+        self.pad = (max(W, window, self.W_CONT, 512)
                     if twophase else W)
         # first-window width of the single-program extension engine
         # (SEGALIGN_WINDOW overrides; any width is exact — window
@@ -412,41 +409,22 @@ class DeviceAligner:
         # ~90% of hits that die within a few hundred bases)
         self.ext_window = (int(os.environ.get("SEGALIGN_WINDOW", "0"))
                            or window)
-        # tiled first-window engine (ops/extend_tiled): groups of BR hits
-        # ordered by (q bucket, ref pos) share one ref tile + one q tile
-        # DMA; windows extracted via MXU one-hot matmuls. Opt-in
-        # (SEGALIGN_TILED=1): the kernel beats the row engine's
-        # first-window in isolation (116 vs 200 ns/hit measured), but the
-        # integrated flow currently measures ~40% slower per chunk-strand
-        # on homology-dense data (integration overheads under
-        # investigation; see docs/DESIGN.md round-3 notes) — the row
-        # engine stays the default until the tiled flow wins end to end.
         # lazy entropy (default): extension kernels skip the per-base
         # match-count bookkeeping (~30% of their scan passes) and the
         # host recomputes counts from the final extents for entropy-band
         # candidates only (oracle/scan_spec.py: counts are a pure
         # function of the extents). SEGALIGN_DEVICE_COUNTS=1 restores
         # on-device counts for A/B measurement.
+        # (The tiled first-window engine that once lived behind
+        # SEGALIGN_TILED was retired in round 5 after losing every
+        # integrated A/B; see docs/DESIGN.md "tiled engine retired".)
         self.lazy_counts = (
             os.environ.get("SEGALIGN_DEVICE_COUNTS", "") != "1")
-        env_tiled = os.environ.get("SEGALIGN_TILED", "")
-        self.tiled_forced = env_tiled == "1"
-        self.tiled = env_tiled == "1"
-        self.TILED_MIN = int(os.environ.get("SEGALIGN_TILED_MIN", "0")) \
-            or 16384
-        self.TROWS = int(os.environ.get("SEGALIGN_TROWS", "0")) or 768
-        # query tile height (ref tile height is TROWS): the extraction
-        # one-hot matmuls cost O(TR + TQ) per hit, so the tiles want to be
-        # as short as their span constraints allow
-        self.TQROWS = int(os.environ.get("SEGALIGN_TQROWS", "0")) \
-            or self.TROWS
-        self.QBUCKET = int(os.environ.get("SEGALIGN_QBUCKET", "0")) or 94208
-        assert self.QBUCKET + 2 * self.W_TILED + 2048 <= self.TQROWS * 128
-        self.BR_TILED = int(os.environ.get("SEGALIGN_TBR", "0")) or 256
-        # groups per tiled program: unlike the row engine (whose (B,)
-        # starts must fit SMEM), the tiled kernel prefetches only
-        # per-GROUP scalars, so programs can exceed 2^17 rows
-        self.TGP = int(os.environ.get("SEGALIGN_TGP", "0")) or 4096
+        # sequence-padding row geometry (pad_sequence_2d); the 2-D host
+        # layout is kept so sequence shapes — and therefore every cached
+        # executable — stay identical across rounds
+        self.TROWS = 768
+        self.TQROWS = self.TROWS
         self.rm_mode = rm_mode
         if device is None:
             platform = os.environ.get("SEGALIGN_DEVICES") or None
@@ -529,19 +507,13 @@ class DeviceAligner:
         from ..ops.extend_pallas import awin_for
         aw = awin_for(max(self.ext_window, self.W_CONT))
         if self._native_seeder is not None:
-            # both layouts from ONE host buffer: the tiled kernel slices
-            # (rows, 128) tiles, the row engines take the flat view. A
-            # reshape inside jit is NOT free here (TPU XLA arrays carry
-            # tiled layouts, so reshape(-1) relayouts the whole block per
-            # program call — measured 2x end-to-end regression), hence
-            # two device arrays.
+            # 2-D padded host layout flattened for the row engine (kept —
+            # not pad_sequence — so sequence shapes and every cached
+            # executable stay identical across rounds)
             from ..ops.extend_tiled import pad_sequence_2d
             host2d = pad_sequence_2d(ref_codes, self.pad, self.TROWS,
-                                     self.W_TILED,
-                                     extra_right=self.pad + aw)
+                                     512, extra_right=self.pad + aw)
             self.ref_pad = jax.device_put(host2d.reshape(-1), self.device)
-            self.ref_2d = (jax.device_put(host2d, self.device)
-                           if self.tiled else None)
         else:
             self.ref_pad = jax.device_put(
                 pad_sequence(ref_codes, self.pad, self.pad + aw),
@@ -573,14 +545,11 @@ class DeviceAligner:
 
             def mk(c):
                 h2d = pad_sequence_2d(c, self.pad, self.TQROWS,
-                                      self.W_TILED, extra_right=rp)
-                flat = jax.device_put(h2d.reshape(-1), self.device)
-                two = (jax.device_put(h2d, self.device)
-                       if self.tiled else None)
-                return flat, two
+                                      512, extra_right=rp)
+                return jax.device_put(h2d.reshape(-1), self.device)
 
-            self.q_fw, self.q2d_fw = mk(fw_codes)
-            self.q_rc, self.q2d_rc = mk(rc_codes)
+            self.q_fw = mk(fw_codes)
+            self.q_rc = mk(rc_codes)
         else:
             self.q_fw = jax.device_put(pad_sequence(fw_codes, self.pad, rp),
                                        self.device)
@@ -724,14 +693,8 @@ class DeviceAligner:
         if n == 0:
             return empty
 
-        use_tiled = (self.tiled and n >= self.TILED_MIN
-                     and self.engine in ("pallas", "pallas_interpret"))
-        if use_tiled:
-            q2d = self.q2d_rc if rev else self.q2d_fw
-            fins = self._dispatch_tiled(ref_loc, query_loc, q2d, tm)
-        else:
-            q_pad = self.q_rc if rev else self.q_fw
-            fins = self._dispatch_rows(ref_loc, query_loc, q_pad, n, tm)
+        q_pad = self.q_rc if rev else self.q_fw
+        fins = self._dispatch_rows(ref_loc, query_loc, q_pad, n, tm)
         t0 = time.time()
         # pad the program list to a power of two with all-invalid dummies:
         # _pack_compact then has one executable per size CLASS instead of
@@ -750,7 +713,7 @@ class DeviceAligner:
                 f"hits={num_hits}")
         return PendingChunk(chunk_start, chunk_end, rev, num_seeds,
                             num_hits, fins_padded, total, out, seg_ends,
-                            ref_loc, query_loc, sort_rows=use_tiled,
+                            ref_loc, query_loc,
                             dedup_exact=d_seg is not None, d_seg=d_seg)
 
     def _seg_ends_dev(self, seg_ends) -> Optional[object]:
@@ -780,8 +743,8 @@ class DeviceAligner:
         return cached
 
     def _dispatch_rows(self, ref_loc, query_loc, q_pad, n, tm):
-        """Row-order extension programs (pre-tiled engine; still used for
-        small workloads and the XLA engine)."""
+        """Row-order extension programs: one fused device program per
+        pow2-bucketed subrange of the hit stream."""
         from ..ops.extend_fused import extend_fields_program
         # pow2-bucketed program size: one executable per size CLASS (a
         # remote AOT compile costs ~10s+); big strands use HBUF-row
@@ -811,70 +774,6 @@ class DeviceAligner:
                 engine=self.engine, W_CONT=self.W_CONT,
                 UNROLL=self.UNROLL, with_counts=not self.lazy_counts)
             fin = dict(fin, orig=_orig_range(self.device, g0, B_prog))
-            _dbg_sync("extend", fin["candidate"])
-            fins.append(fin)
-            tm.add("extend", time.time() - t0)
-        return fins
-
-    def _tiled_class(self, mg: int) -> int:
-        """pow2 group-count class for one program (floor 512): each
-        distinct static shape costs a ~25 s remote AOT compile through
-        the tunnel and the compile cache dies with the process, so the
-        ladder is kept to {512, 1024, 2048, 4096}."""
-        return max(512, 1 << (mg - 1).bit_length())
-
-    def _dispatch_tiled(self, ref_loc, query_loc, q2d, tm):
-        """Tiled-engine dispatch: plan hit groups once per chunk-strand,
-        then ONE fused device program per <= TGP groups (extension +
-        finalize in-program), with all per-row inputs stacked into a
-        single transfer — the tunnel charges a full round trip per
-        device_put/call, which dominated the many-program flow. Returns
-        the per-program raw finalize fields (device-resident); candidate
-        compaction happens once per chunk-strand (_pack_compact), exactly
-        like the row path — so a CBUF overflow re-runs only the cheap
-        compaction, never the extension (the previous in-program
-        compaction paid a full re-extension PLUS a fresh ~25 s remote AOT
-        compile per escalation class: 12-25 s observed per overflowing
-        chunk on repeat-dense data)."""
-        from ..ops.extend_tiled import plan_tiled_groups
-        from ..ops.extend_fused import extend_fields_tiled_packed
-        t0 = time.time()
-        BR = self.BR_TILED
-        plan = plan_tiled_groups(ref_loc, query_loc, W=self.W_TILED,
-                                 pad=self.pad, BR=BR, trows=self.TROWS,
-                                 qbucket=self.QBUCKET, trows_q=self.TQROWS)
-        tm.add("plan", time.time() - t0)
-        ng = plan["ngroups"]
-        GP = self.TGP
-        fins = []
-        for p0 in range(0, ng, GP):
-            t0 = time.time()
-            p1 = min(p0 + GP, ng)
-            mg = p1 - p0
-            gpad = GP if ng > GP else self._tiled_class(mg)
-            nr = mg * BR
-            rows4 = np.zeros((4, gpad * BR), np.int32)
-            rows4[0, :nr] = plan["rl"][p0 * BR:p1 * BR]
-            rows4[1, :nr] = plan["ql"][p0 * BR:p1 * BR]
-            rows4[2, :nr] = plan["valid"][p0 * BR:p1 * BR]
-            rows4[3, :] = ORIG_INVALID
-            rows4[3, :nr] = plan["orig"][p0 * BR:p1 * BR]
-            # rbase -1 marks all-pad groups: the kernel skips their DMAs
-            # and compute entirely (class padding is then ~free)
-            bases = np.full((2, gpad), -1, np.int32)
-            bases[0, :mg] = plan["rbase"][p0:p1]
-            bases[1, :mg] = plan["qbase"][p0:p1]
-            d_rows4 = jax.device_put(rows4, self.device)
-            d_bases = jax.device_put(bases, self.device)
-            tm.add("h2d", time.time() - t0)
-            t0 = time.time()
-            fin = extend_fields_tiled_packed(
-                self.ref_2d, q2d, d_bases, d_rows4, self.sub_flat,
-                self.xdrop, self.hspthresh, self.ref_len, self.q_len,
-                pad=self.pad, W=self.W_TILED, CONT=self.CONT,
-                engine=self.engine, W_CONT=self.W_CONT,
-                UNROLL=self.UNROLL, BR=BR, TR=self.TROWS, TQ=self.TQROWS,
-                with_counts=not self.lazy_counts)
             _dbg_sync("extend", fin["candidate"])
             fins.append(fin)
             tm.add("extend", time.time() - t0)
@@ -914,10 +813,6 @@ class DeviceAligner:
         k = _bucket_for(total, out.shape[0])
         allrows = np.asarray(
             jax.device_get(_slice_rows(out, k=k))[:total], np.int64)
-        if p.sort_rows and len(allrows) > 1:
-            # tiled fins: compaction order is planned order; restore
-            # original hit order (dedup tie-breaking depends on it)
-            allrows = allrows[np.argsort(allrows[:, 0], kind="stable")]
         tm.add("d2h", time.time() - t0)
 
         t0 = time.time()
