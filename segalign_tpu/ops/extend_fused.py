@@ -213,19 +213,21 @@ _CASCADE_ENV = os.environ.get("SEGALIGN_CASCADE", "")
 
 
 def _cascade_sizes(CONT):
-    """Shrinking cohort sizes: CONT/4 and CONT/16 (floor 128). Each stage
-    is its own data-dependent while_loop, and every while iteration
+    """Shrinking cohort sizes: ONE stage at CONT/4 (floor 128). Each
+    stage is its own data-dependent while_loop, and every while iteration
     stalls the device pipeline (~1 ms through this host link), so the
-    ladder stays SHORT — a finer /2 ladder measured net-slower on
-    long-extension-heavy data despite stepping snugger cohorts (round 3,
-    with argsort compaction; SEGALIGN_CASCADE="2048,512,128" overrides
-    for re-tuning now that recompaction is cumsum-based)."""
+    ladder stays SHORT. Round-5 A/B at CONT=16384 on the repeat bench:
+    (4096, 1024) -> 6.74 s, (4096,) -> 6.64 s, no cascade -> 7.60 s
+    steady. SEGALIGN_CASCADE="2048,512" overrides for re-tuning;
+    SEGALIGN_CASCADE=none disables."""
+    if _CASCADE_ENV == "none":
+        return ()
     if _CASCADE_ENV:
         sizes = tuple(int(x) for x in _CASCADE_ENV.split(",")
                       if 0 < int(x) < CONT)
         assert all(s & (s - 1) == 0 for s in sizes), sizes  # pow2 only
         return sizes
-    return tuple(s for s in (CONT // 4, CONT // 16) if s >= 128)
+    return tuple(s for s in (CONT // 4,) if s >= 128)
 
 
 def _cont_loop_joint(seq_r, seq_q, R, L, tile0, na_r, na_l, sub_flat,

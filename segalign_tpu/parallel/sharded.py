@@ -415,10 +415,14 @@ class ShardedAligner:
         extender — a full remote recompile).
 
         E[hits per seed] for a seed drawn from the reference's own k-mer
-        distribution is sum(c_b^2)/sum(c_b) (bucket counts c_b) — the
-        right estimator for the self-similar/repeat-driven density that
-        dominates real genomes. Per-shard hits/chunk ~ that times the
-        shard's seed-slot count; 4x headroom, clamped to [2^13, 2^21]."""
+        distribution is sum(c_b^2)/sum(c_b) (bucket counts c_b) — an
+        upper-end estimator for the self-similar/repeat-driven density
+        that dominates real genomes (tandem buckets dominate the sum, and
+        query tandem content is usually below the ref's own). Per-shard
+        hits/chunk ~ that times the shard's seed-slot count; 4x headroom,
+        clamped to [2^13, 2^17] — the ceiling bounds the one-program
+        extension state ((HCAP, W) gathers) to what fits device memory;
+        denser chunks take the 4x escalation."""
         c = np.diff(np.concatenate([[0], np.asarray(index_table,
                                                     np.int64)]))
         tot = int(c.sum())
@@ -426,7 +430,7 @@ class ShardedAligner:
         nloc = self.chunk_cap // self.S * self._nvar
         est = nloc * max(e_hits, 1.0)
         hcap = 1 << int(np.ceil(np.log2(min(max(4 * est, 1 << 13),
-                                            1 << 21))))
+                                            1 << 17))))
         # with the in-program exact dedup, surviving candidates are
         # unique extents — orders of magnitude below hits even on
         # tandem-repeat data

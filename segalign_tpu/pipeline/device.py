@@ -558,7 +558,7 @@ class DeviceAligner:
         self._q_fw_host = np.ascontiguousarray(fw_codes, np.uint8)
         self._q_rc_host = np.ascontiguousarray(rc_codes, np.uint8)
 
-    def map_chunks(self, work, depth: int = 4):
+    def map_chunks(self, work, depth: int = 4, on_result=None):
         """Pipelined chunk processing (MultiDeviceAligner-compatible).
 
         Keeps up to `depth` chunks in flight: host seeding of chunk k+1 and
@@ -568,40 +568,57 @@ class DeviceAligner:
         form): the dispatch thread's native seeding/planning (ctypes, GIL
         released) then overlaps the finisher's blocking candidate fetches
         and numpy finalize/dedup — the reference gets the same overlap from
-        separate TBB seeder/printer nodes (src/main.cpp:553-573)."""
+        separate TBB seeder/printer nodes (src/main.cpp:553-573).
+
+        on_result(index, ChunkResult), when given, fires as each chunk
+        finishes (in work order) so a downstream stage can consume HSPs
+        while the device still chews on later chunks — the hook the
+        reference's driver gets for free by eval-ing lastz commands as
+        segalign prints them (scripts/run_segalign:112-117)."""
+        def emit(i, r):
+            if on_result is not None:
+                on_result(i, r)
+            return r
+
         if self._native_seeder is None:
-            return [self.seed_and_filter(w.chunk_start, w.chunk_end, w.rev,
-                                         window=w.window) for w in work]
+            return [emit(i, self.seed_and_filter(
+                w.chunk_start, w.chunk_end, w.rev, window=w.window))
+                for i, w in enumerate(work)]
         from collections import deque
-        pend: "deque[PendingChunk]" = deque()
+        pend: "deque" = deque()
         if os.environ.get("SEGALIGN_OVERLAP", "") == "0" or len(work) <= 1:
             results = []
-            for w in work:
-                pend.append(self.dispatch_chunk(w.chunk_start, w.chunk_end,
-                                                w.rev, window=w.window))
+            for i, w in enumerate(work):
+                pend.append((i, self.dispatch_chunk(
+                    w.chunk_start, w.chunk_end, w.rev, window=w.window)))
                 if len(pend) > depth:
-                    results.append(self.finish_chunk(pend.popleft()))
+                    j, pd = pend.popleft()
+                    results.append(emit(j, self.finish_chunk(pd)))
             while pend:
-                results.append(self.finish_chunk(pend.popleft()))
+                j, pd = pend.popleft()
+                results.append(emit(j, self.finish_chunk(pd)))
             return results
         from concurrent.futures import ThreadPoolExecutor
         results = []
         futs: "deque" = deque()
         with ThreadPoolExecutor(1) as ex:
-            for w in work:
-                pend.append(self.dispatch_chunk(w.chunk_start, w.chunk_end,
-                                                w.rev, window=w.window))
+            for i, w in enumerate(work):
+                pend.append((i, self.dispatch_chunk(
+                    w.chunk_start, w.chunk_end, w.rev, window=w.window)))
                 if len(pend) > depth:
-                    futs.append(ex.submit(self.finish_chunk,
-                                          pend.popleft()))
+                    j, pd = pend.popleft()
+                    futs.append((j, ex.submit(self.finish_chunk, pd)))
                 # bound unfetched results: device candidate buffers stay
                 # alive until their finish runs
                 while len(futs) > depth + 2:
-                    results.append(futs.popleft().result())
+                    j, f = futs.popleft()
+                    results.append(emit(j, f.result()))
             while pend:
-                futs.append(ex.submit(self.finish_chunk, pend.popleft()))
+                j, pd = pend.popleft()
+                futs.append((j, ex.submit(self.finish_chunk, pd)))
             while futs:
-                results.append(futs.popleft().result())
+                j, f = futs.popleft()
+                results.append(emit(j, f.result()))
         return results
 
     # -- per-chunk call (analog of SeedAndFilter) ---------------------------
@@ -746,14 +763,23 @@ class DeviceAligner:
         """Row-order extension programs: one fused device program per
         pow2-bucketed subrange of the hit stream."""
         from ..ops.extend_fused import extend_fields_program
-        # pow2-bucketed program size: one executable per size CLASS (a
+        # pow2-bucketed program sizes: one executable per size CLASS (a
         # remote AOT compile costs ~10s+); big strands use HBUF-row
-        # programs, small workloads stay small
-        B_prog = min(self.HBUF, 1 << max(12, (n - 1).bit_length()))
+        # programs and the REMAINDER runs at a snug pow2 class — a single
+        # uniform B_prog padded ~16% of all scanned rows on the bench
+        # (strands are ~3.3 x 2^17 hits; the first window scans padding
+        # rows like live ones)
+        spans = []
+        g0 = 0
+        while g0 < n:
+            rem = n - g0
+            B_prog = min(self.HBUF,
+                         1 << max(12, (rem - 1).bit_length()))
+            spans.append((g0, min(g0 + B_prog, n), B_prog))
+            g0 += B_prog
         fins = []
-        for g0 in range(0, n, B_prog):
+        for g0, g1, B_prog in spans:
             t0 = time.time()
-            g1 = min(g0 + B_prog, n)
             m = g1 - g0
             if m < B_prog:
                 buf_r = np.zeros(B_prog, np.int32)
