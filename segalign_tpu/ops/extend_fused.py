@@ -36,6 +36,26 @@ _USE_TALL_STEP = os.environ.get("SEGALIGN_TSTEP", "") != "0"
 _USE_JOINT_TAIL = os.environ.get("SEGALIGN_JOINT_TAIL", "") != "0"
 
 
+# The row-gather kernel prefetches its (B,) int32 starts into SMEM
+# (1 MB on v5e), so ONE pallas_call handles at most 2^17 rows; bigger
+# batches are served by consecutive calls on row slices inside the same
+# jit program (the SMEM limit is per call, not per program — this is
+# what lets HBUF exceed 2^17).
+_GATHER_MAX_ROWS = 1 << 17
+
+
+def _gather_blocked(seq, starts, *, W, interpret=False):
+    from .extend_pallas import gather_rows_pallas
+    B = starts.shape[0]
+    if B <= _GATHER_MAX_ROWS:
+        return gather_rows_pallas(seq, starts, W=W, BR=min(256, B),
+                                  interpret=interpret)
+    return jnp.concatenate(
+        [gather_rows_pallas(seq, starts[i:i + _GATHER_MAX_ROWS], W=W,
+                            BR=256, interpret=interpret)
+         for i in range(0, B, _GATHER_MAX_ROWS)], axis=0)
+
+
 def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
                  ref_len, query_len, *, pad, W, left, interpret=False,
                  with_counts=True):
@@ -63,10 +83,8 @@ def _step_pallas(seq_r, seq_q, loc_r, loc_q, tile, st, sub_flat, xdrop,
     # addresses into the DMA-able range
     r_start = jnp.clip(r_start, 0, seq_r.shape[0] - AW)
     q_start = jnp.clip(q_start, 0, seq_q.shape[0] - AW)
-    r = gather_rows_pallas(seq_r, r_start, W=W, BR=min(256, B),
-                           interpret=interpret)
-    q = gather_rows_pallas(seq_q, q_start, W=W, BR=min(256, B),
-                           interpret=interpret)
+    r = _gather_blocked(seq_r, r_start, W=W, interpret=interpret)
+    q = _gather_blocked(seq_q, q_start, W=W, interpret=interpret)
     if _USE_TALL_STEP:
         from .extend_tiled import window_scan_tall
         o_done, o_cum, o_maxv, o_maxp, o_counts, o_cdel = window_scan_tall(
@@ -356,8 +374,7 @@ def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
     the entropy counts fold is additive in its initial value (the left
     direction starts from zero counts; _extend_core adds the right
     direction's counts at finalize)."""
-    from .extend_pallas import gather_rows_pallas, first_scan_pallas, \
-        awin_for
+    from .extend_pallas import first_scan_pallas, awin_for
     AW = awin_for(2 * W)
     B = loc_r.shape[0]
     # power-of-two block height: must be a multiple of 8 AND divide the
@@ -366,10 +383,8 @@ def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
     BR = min(256, B, 1 << (budget.bit_length() - 1))
     r_start = jnp.clip(pad + loc_r - W, 0, seq_r.shape[0] - AW)
     q_start = jnp.clip(pad + loc_q - W, 0, seq_q.shape[0] - AW)
-    r2 = gather_rows_pallas(seq_r, r_start, W=2 * W, BR=min(256, B),
-                            interpret=interpret)
-    q2 = gather_rows_pallas(seq_q, q_start, W=2 * W, BR=min(256, B),
-                            interpret=interpret)
+    r2 = _gather_blocked(seq_r, r_start, W=2 * W, interpret=interpret)
+    q2 = _gather_blocked(seq_q, q_start, W=2 * W, interpret=interpret)
     valid = jnp.logical_not(st_r["done"])
     out_r, out_l = first_scan_pallas(
         r2, q2, loc_r, loc_q, valid, sub_flat, xdrop, ref_len, query_len,

@@ -364,9 +364,12 @@ class DeviceAligner:
         # continuation rounds and per-execution runtime overhead; actual
         # program size is pow2-bucketed to the strand's hit count
         # (dispatch_chunk) so small workloads keep small programs.
-        # Upper bound: the row-gather kernel prefetches its (B,) int32
-        # starts into SMEM (1 MB on v5e), so B <= 2^17.
-        self.HBUF = HBUF
+        # The row-gather kernel's SMEM scalar prefetch caps ONE call at
+        # 2^17 rows; bigger programs issue consecutive gather calls on
+        # row slices (extend_fused._gather_blocked), so HBUF may exceed
+        # 2^17 (first-window intermediates are ~8 KB/row — keep
+        # HBUF * 8KB well under HBM).
+        self.HBUF = int(os.environ.get("SEGALIGN_HBUF", "0")) or HBUF
         # live-row capacity of one continuation round (extend_fused
         # ._run_tail); scheduling-only, results are exact for any value.
         # Default 16384 (round-5 sweep on the repeat-structured bench:

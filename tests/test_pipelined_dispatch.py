@@ -134,3 +134,82 @@ def test_pipelined_map_chunks_matches_sequential():
         np.testing.assert_array_equal(a.hsps, b.hsps)
         nonzero += len(a.hsps)
     assert nonzero > 0
+
+
+def test_snug_tail_program_decomposition_is_exact():
+    """Strands whose hit count exceeds HBUF split into HBUF-row programs
+    plus a SNUG pow2 remainder program (round 5: a uniform program size
+    padded ~16% of scanned rows). Mixed program sizes must be
+    bit-identical to a single big-program run."""
+    rng = np.random.default_rng(21)
+    sc = make_seed_config("12of19")
+    sub = build_substitution_matrix(910)
+    # ~10k hits per chunk-strand: 24 ref copies of one exact 400 bp core
+    # x ~400 seedable query positions per copy
+    ref = rng.integers(0, 4, 12000).astype(np.uint8)
+    query = rng.integers(0, 4, 4000).astype(np.uint8)
+    core = rng.integers(0, 4, 400).astype(np.uint8)
+    for i in range(24):
+        p = 100 + i * 480
+        ref[p:p + 400] = core
+    for p in (300, 2400):
+        query[p:p + 400] = core
+    qrc = RC[query[::-1]]
+
+    def mk(hbuf):
+        al = DeviceAligner(
+            shape_pos=sc.shape_pos, seed_size=sc.size,
+            transition=sc.transition, step=1, sub_mat=sub, xdrop=910,
+            hspthresh=1500, noentropy=False, chunk_size=2048,
+            max_hits=10**9, HBUF=hbuf, B=256, W=128, CBUF=4096)
+        al.set_ref(ref)
+        al.set_query(query, qrc)
+        return al
+
+    # snug remainder classes only exist above the 2^12 class floor:
+    # 8192-row programs + a 4096-class remainder
+    small = mk(8192)
+    big = mk(1 << 15)  # one program per strand
+    if small._native_seeder is None:
+        import pytest
+        pytest.skip("native seeder unavailable")
+
+    saw_mixed = False
+    for (cs, ce) in chunk_interval(0, len(query) - sc.size, 2048):
+        for rev in (False, True):
+            pend = small.dispatch_chunk(cs, ce, rev)
+            sizes = {f["candidate"].shape[0] for f in pend.fins}
+            if len(sizes) > 1:
+                saw_mixed = True
+            got = small.finish_chunk(pend)
+            want = big.seed_and_filter(cs, ce, rev)
+            assert got.num_hits == want.num_hits
+            np.testing.assert_array_equal(got.hsps, want.hsps,
+                                          err_msg=f"{cs}:{ce} rev={rev}")
+    assert saw_mixed  # the snug-remainder path actually ran
+
+
+def test_map_chunks_on_result_callback():
+    """on_result fires once per chunk, in work order, with the same
+    results map_chunks returns (the bench's overlapped gapped stage
+    consumes HSPs through this hook)."""
+    rng = np.random.default_rng(12)
+    sc = make_seed_config("12of19")
+    sub = build_substitution_matrix(910)
+    ref, query = _dense_pair(rng, n=4000)
+    qrc = RC[query[::-1]]
+    al = _mk(sc, sub, cbuf=512)
+    al.set_ref(ref)
+    al.set_query(query, qrc)
+    if al._native_seeder is None:
+        import pytest
+        pytest.skip("native seeder unavailable")
+    work = [ChunkWork(cs, ce, rev)
+            for (cs, ce) in chunk_interval(0, len(query) - sc.size, 512)
+            for rev in (False, True)]
+    seen = []
+    out = al.map_chunks(work, depth=3,
+                        on_result=lambda i, r: seen.append((i, r)))
+    assert [i for i, _ in seen] == list(range(len(work)))
+    for (i, r), o in zip(seen, out):
+        np.testing.assert_array_equal(r.hsps, o.hsps)
