@@ -383,12 +383,32 @@ def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
     BR = min(256, B, 1 << (budget.bit_length() - 1))
     r_start = jnp.clip(pad + loc_r - W, 0, seq_r.shape[0] - AW)
     q_start = jnp.clip(pad + loc_q - W, 0, seq_q.shape[0] - AW)
-    r2 = _gather_blocked(seq_r, r_start, W=2 * W, interpret=interpret)
-    q2 = _gather_blocked(seq_q, q_start, W=2 * W, interpret=interpret)
     valid = jnp.logical_not(st_r["done"])
-    out_r, out_l = first_scan_pallas(
-        r2, q2, loc_r, loc_q, valid, sub_flat, xdrop, ref_len, query_len,
-        W=W, BR=BR, interpret=interpret, with_counts=with_counts)
+
+    def slab(s):
+        # gather + scan together per <= 2^17-row slice: the (slice, 2W)
+        # int32 windows are ~8 KB/row and get consumed by the scan within
+        # the slice, so a bigger-than-2^17 program's peak transients stay
+        # slice-sized (a monolithic 2^18-row first window materialized
+        # ~2 GB and measured slower than two 2^17 programs)
+        sl = slice(s, s + _GATHER_MAX_ROWS)
+        r2 = _gather_blocked(seq_r, r_start[sl], W=2 * W,
+                             interpret=interpret)
+        q2 = _gather_blocked(seq_q, q_start[sl], W=2 * W,
+                             interpret=interpret)
+        return first_scan_pallas(
+            r2, q2, loc_r[sl], loc_q[sl], valid[sl], sub_flat, xdrop,
+            ref_len, query_len, W=W, BR=BR, interpret=interpret,
+            with_counts=with_counts)
+
+    outs = [slab(s) for s in range(0, B, _GATHER_MAX_ROWS)]
+    if len(outs) == 1:
+        out_r, out_l = outs[0]
+    else:
+        cat = lambda ds: {k: jnp.concatenate([d[k] for d in ds], axis=0)
+                          for k in ds[0]}
+        out_r = cat([o[0] for o in outs])
+        out_l = cat([o[1] for o in outs])
     na_r = jnp.sum(jnp.logical_not(out_r["done"]).astype(jnp.int32))
     na_l = jnp.sum(jnp.logical_not(out_l["done"]).astype(jnp.int32))
     return (out_r, na_r), (out_l, na_l)
