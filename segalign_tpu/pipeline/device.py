@@ -221,6 +221,27 @@ class PendingChunk:
 # per chunk-strand are far below 2^30)
 ORIG_INVALID = 1 << 30
 
+
+def _retry_transient(fn, *args, **kw):
+    """Retry a jit call once after a transient remote-compile failure.
+
+    The axon backend compiles through an HTTP tunnel that occasionally
+    drops a response mid-body ('response body closed', INTERNAL);
+    compilation errors surface synchronously at the call, so a plain
+    retry is safe and does NOT block async dispatch (unlike
+    robust_call, which materializes results)."""
+    try:
+        return fn(*args, **kw)
+    except Exception as e:
+        msg = str(e)
+        if "remote_compile" not in msg and "INTERNAL" not in msg:
+            raise
+        import sys
+        print(f"segalign_tpu: transient compile failure, retrying: "
+              f"{msg[:120]}", file=sys.stderr)
+        time.sleep(2.0)
+        return fn(*args, **kw)
+
 # Serializes FIRST-time compiles across host threads: concurrent cold
 # compiles from N threads SIGSEGV XLA's compiler in this environment
 # (round-2 finding; see MultiDeviceAligner.map_chunks). Worker dispatch
@@ -725,8 +746,9 @@ class DeviceAligner:
         dummy_size = fins[-1]["candidate"].shape[0]
         fins_padded = fins + [self._dummy_fin(dummy_size)] * (p_pad - P)
         d_seg = self._seg_ends_dev(seg_ends)
-        total, out = _pack_compact(fins_padded, d_seg, TBUF=self.CBUF,
-                                   dedup_exact=d_seg is not None)
+        total, out = _retry_transient(
+            _pack_compact, fins_padded, d_seg, TBUF=self.CBUF,
+            dedup_exact=d_seg is not None)
         _dbg_sync("pack", total)
         tm.add("pack", time.time() - t0)
         tm.dump(f"dispatch {chunk_start}:{chunk_end} rev={rev} "
@@ -796,7 +818,8 @@ class DeviceAligner:
             d_q = jax.device_put(buf_q, self.device)
             tm.add("h2d", time.time() - t0)
             t0 = time.time()
-            fin = extend_fields_program(
+            fin = _retry_transient(
+                extend_fields_program,
                 self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
                 pad=self.pad, W=self.ext_window, CONT=self.CONT,
