@@ -121,3 +121,20 @@ def test_device_matches_oracle_rm():
                                           err_msg=f"{cs}:{ce} rev={rev}")
             got_any += len(got.hsps)
     assert got_any > 0
+
+
+@pytest.mark.parametrize("seed", [1003, 1006, 1008, 1010])
+def test_fuzz_parity_subset(seed):
+    """CI-speed slice of the randomized parity fuzz (scripts/fuzz_oracle
+    .py): random genome structure x random (shape, xdrop, hspthresh,
+    max_hits, chunk, rm-window, noentropy) against the oracle. The
+    chosen seeds cover RM windows, max_hits batching, 14of22, and
+    noentropy."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "fuzz_oracle", os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "fuzz_oracle.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    print(mod.run_case(seed))
