@@ -363,7 +363,8 @@ def _run_tails_joint(seq_r, seq_q, loc_r, loc_q, st_r, na_r, st_l, na_l,
 
 def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
                         xdrop, ref_len, query_len, *, pad, W,
-                        interpret=False, with_counts=True):
+                        interpret=False, with_counts=True, q2d=None,
+                        qtile=False):
     """Both directions' first windows off ONE shared gather per sequence.
 
     The per-row DMA issue + aligned-superset extraction is the dominant
@@ -374,7 +375,8 @@ def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
     the entropy counts fold is additive in its initial value (the left
     direction starts from zero counts; _extend_core adds the right
     direction's counts at finalize)."""
-    from .extend_pallas import first_scan_pallas, awin_for
+    from .extend_pallas import first_scan_pallas, awin_for, \
+        gather_rows_qtile
     AW = awin_for(2 * W)
     B = loc_r.shape[0]
     # power-of-two block height: must be a multiple of 8 AND divide the
@@ -394,8 +396,18 @@ def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
         sl = slice(s, s + _GATHER_MAX_ROWS)
         r2 = _gather_blocked(seq_r, r_start[sl], W=2 * W,
                              interpret=interpret)
-        q2 = _gather_blocked(seq_q, q_start[sl], W=2 * W,
-                             interpret=interpret)
+        if qtile:
+            # q-side shared-tile gather: the native seeder's hit stream
+            # is query-position-sorted, so one small tile DMA serves 128
+            # consecutive rows (the per-row DMA issue/extract is the
+            # first window's dominant fixed cost — DESIGN round-5
+            # roofline correction). The dispatcher verified every
+            # block's span (gather_qtile_spans_ok).
+            q2 = gather_rows_qtile(q2d, q_start[sl], W=2 * W,
+                                   interpret=interpret)
+        else:
+            q2 = _gather_blocked(seq_q, q_start[sl], W=2 * W,
+                                 interpret=interpret)
         return first_scan_pallas(
             r2, q2, loc_r[sl], loc_q[sl], valid[sl], sub_flat, xdrop,
             ref_len, query_len, W=W, BR=BR, interpret=interpret,
@@ -465,9 +477,18 @@ def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
 
 def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
                  xdrop, hspthresh, ref_len, query_len, *, pad, W, CONT,
-                 engine, W_CONT=0, UNROLL=4, with_counts=True):
-    loc_r = jnp.where(valid, jnp.asarray(ref_loc, jnp.int32), 0)
-    loc_q = jnp.where(valid, jnp.asarray(query_loc, jnp.int32), 0)
+                 engine, W_CONT=0, UNROLL=4, with_counts=True, q2d=None,
+                 qtile=False):
+    if qtile:
+        # qtile requires monotone (sorted) q gather addresses: the
+        # dispatcher pre-fills invalid suffix rows with the last valid
+        # locations, so the raw buffers are safe gather addresses and
+        # keep the sorted order (zeroing them would break both)
+        loc_r = jnp.asarray(ref_loc, jnp.int32)
+        loc_q = jnp.asarray(query_loc, jnp.int32)
+    else:
+        loc_r = jnp.where(valid, jnp.asarray(ref_loc, jnp.int32), 0)
+        loc_q = jnp.where(valid, jnp.asarray(query_loc, jnp.int32), 0)
     B = loc_r.shape[0]
 
     def init_st(init_maxp):
@@ -486,7 +507,7 @@ def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
             ref_pad, query_pad, loc_r, loc_q, init_st(-1), init_st(0),
             sub_flat, xdrop, ref_len, query_len, pad=pad, W=W,
             interpret=engine == "pallas_interpret",
-            with_counts=with_counts)
+            with_counts=with_counts, q2d=q2d, qtile=qtile)
     else:
         st_r0, na_r = _step(ref_pad, query_pad, loc_r, loc_q,
                             jnp.int32(0), init_st(-1), sub_flat, xdrop,
@@ -536,25 +557,31 @@ def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
 
 @functools.partial(jax.jit,
                    static_argnames=("pad", "W", "CONT", "engine",
-                                    "W_CONT", "UNROLL", "with_counts"))
+                                    "W_CONT", "UNROLL", "with_counts",
+                                    "qtile"))
 def extend_fields_program(ref_pad, query_pad, ref_loc, query_loc, m,
                           sub_flat, xdrop, hspthresh, ref_len, query_len,
-                          *, pad: int, W: int = 256, CONT: int = 4096,
-                          engine: str = "xla", W_CONT: int = 0,
-                          UNROLL: int = 4, with_counts: bool = True):
+                          q2d=None, *, pad: int, W: int = 256,
+                          CONT: int = 4096, engine: str = "xla",
+                          W_CONT: int = 0, UNROLL: int = 4,
+                          with_counts: bool = True, qtile: bool = False):
     """Extend rows [0, m) of an HBUF-sized hit batch; return the raw
     finalize fields dict(candidate, rs, qs, length, total, counts) as
     device arrays. Candidate compaction happens once per chunk-strand
     across ALL programs (pipeline/device._pack_compact), not per program:
     one global argsort replaces P per-program ones and removes the
-    per-program overflow case entirely."""
+    per-program overflow case entirely.
+
+    qtile selects the shared-tile q-side first-window gather (sorted
+    hits; q2d is the (rows, 128) padded query view). The dispatcher
+    decides per program via gather_qtile_spans_ok."""
     B = ref_loc.shape[0]
     valid = jnp.arange(B, dtype=jnp.int32) < m
     return _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid,
                         sub_flat, xdrop, hspthresh, ref_len, query_len,
                         pad=pad, W=W, CONT=CONT, engine=engine,
                         W_CONT=W_CONT, UNROLL=UNROLL,
-                        with_counts=with_counts)
+                        with_counts=with_counts, q2d=q2d, qtile=qtile)
 
 
 @functools.partial(jax.jit,

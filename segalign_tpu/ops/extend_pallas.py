@@ -489,3 +489,113 @@ def gather_rows_pallas(seq_pad, starts, *, W: int, BR: int = 256,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, seq_pad)
+
+
+def _gather_qtile_kernel(bases_ref, starts_ref, seq2d_ref, out_ref, tile,
+                         sems, *, BR: int, W: int, T: int):
+    """Shared-tile gather for SORTED starts: one (T, 128) tile DMA per
+    BR-row block (vs BR per-row DMAs), windows extracted from VMEM with
+    one-hot MXU row selects + one lane gather per 128-byte slab.
+
+    The native seeder emits hits in query-position order, so the q-side
+    window starts of a program are non-decreasing and a block of BR
+    consecutive hits spans a few hundred bytes — the caller verifies
+    every block's span fits the tile (gather_rows_qtile_ok) and falls
+    back to the per-row kernel otherwise. bases_ref holds each block's
+    tile base ROW (multiple of 8, i.e. a 1024-byte-aligned byte offset;
+    Mosaic only slices HBM at those boundaries)."""
+    b = pl.program_id(0)
+    nblk = pl.num_programs(0)
+
+    def dma(slot, blk):
+        return pltpu.make_async_copy(
+            seq2d_ref.at[pl.ds(pl.multiple_of(bases_ref[blk], 8), T), :],
+            tile.at[slot], sems.at[slot])
+
+    @pl.when(b == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(b + 1 < nblk)
+    def _():
+        dma((b + 1) % 2, b + 1).start()
+
+    dma(b % 2, b).wait()
+
+    tl = tile[b % 2].astype(jnp.int32).astype(jnp.bfloat16)  # (T, 128)
+    starts = starts_ref[:]                                   # (BR, 1)
+    base_byte = bases_ref[b] * 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BR, 128), 1)
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (BR, T), 1)
+    G = W // 128
+    for g in range(G):
+        F = starts + g * 128                # (BR, 1) slab start byte
+        ridx = F // 128 - bases_ref[b]      # tile row of slab start
+        dc = jnp.broadcast_to(F - (F // 128) * 128, (BR, 128))
+        selA = (tcol == ridx).astype(jnp.bfloat16)
+        selB = (tcol == (ridx + 1)).astype(jnp.bfloat16)
+        rowsA = jnp.dot(selA, tl,
+                        preferred_element_type=jnp.float32).astype(
+                            jnp.int32)
+        rowsB = jnp.dot(selB, tl,
+                        preferred_element_type=jnp.float32).astype(
+                            jnp.int32)
+        # carry-row select on SOURCE lanes (runs before the gather):
+        # output lane c reads source lane c' = (c + dc) % 128, which
+        # lives in the carry row iff c + dc >= 128 iff c' < dc
+        C = jnp.where(lane < dc, rowsB, rowsA)
+        idx = lane + dc - jnp.where(lane + dc >= 128, 128, 0)
+        out_ref[:, g * 128:(g + 1) * 128] = jnp.take_along_axis(
+            C, idx, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "BR", "T", "interpret"))
+def gather_rows_qtile(seq2d, starts, *, W: int, BR: int = 128,
+                      T: int = 64, interpret: bool = False):
+    """(B,) SORTED start offsets -> (B, W) int32 rows via per-block
+    shared tiles. Bit-identical output to gather_rows_pallas when every
+    block satisfies gather_rows_qtile_ok; ~1 tile DMA per BR rows
+    instead of BR row DMAs (the per-row DMA issue/extract is the
+    dominant fixed cost of the first window — docs/DESIGN.md round-5
+    roofline correction)."""
+    B = starts.shape[0]
+    nblk = B // BR
+    # block base rows from the (sorted) starts: block min = first element
+    bases = (starts[::BR] // ALIGN) * (ALIGN // 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((BR, 1), lambda i, bases: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((BR, W), lambda i, bases: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, T, 128), jnp.uint8),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_qtile_kernel, BR=BR, W=W, T=T),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(bases, starts.reshape(B, 1), seq2d)
+
+
+def gather_qtile_spans_ok(starts: "np.ndarray", W: int, seq_rows: int,
+                          BR: int = 128, T: int = 64) -> bool:
+    """Host-side check that every BR-row block's windows fit a (T, 128)
+    tile anchored at the block's first start (numpy, pre-dispatch).
+    Requires sorted starts; also verifies the tile DMA stays inside the
+    padded sequence."""
+    import numpy as np
+    n = len(starts)
+    if n == 0 or n % BR:
+        return False
+    s = np.asarray(starts).reshape(-1, BR)
+    if np.any(np.diff(np.asarray(starts)) < 0):
+        return False
+    base = (s[:, 0] // ALIGN) * ALIGN
+    if np.any(s[:, -1] + W > base + T * 128):
+        return False
+    return bool(np.all(base // 128 + T <= seq_rows))

@@ -433,6 +433,14 @@ class DeviceAligner:
         # ~90% of hits that die within a few hundred bases)
         self.ext_window = (int(os.environ.get("SEGALIGN_WINDOW", "0"))
                            or window)
+        # shared-tile q-side first-window gather (SEGALIGN_QTILE=0
+        # disables): the native hit stream is query-sorted, so one small
+        # tile DMA serves 128 consecutive rows where the per-row DMA
+        # gather pays its fixed cost per row (~72 ns/hit of the
+        # first window's ~209 — DESIGN round-5 roofline correction);
+        # programs whose block spans don't fit the tile fall back
+        # per-program (gather_qtile_spans_ok)
+        self.qtile = os.environ.get("SEGALIGN_QTILE", "1") != "0"
         # lazy entropy (default): extension kernels skip the per-base
         # match-count bookkeeping (~30% of their scan passes) and the
         # host recomputes counts from the final extents for entropy-band
@@ -489,6 +497,10 @@ class DeviceAligner:
         self._dummy_fin_cache = None
         from collections import OrderedDict
         self._seg_cache: "OrderedDict" = OrderedDict()
+        # per-run counters: extension programs using the shared-tile
+        # q gather vs the per-row gather fallback
+        self.qtile_programs = 0
+        self.row_programs = 0
 
     def _dummy_fin(self, size: int):
         """All-invalid extension-result fields used to pad the program
@@ -570,10 +582,16 @@ class DeviceAligner:
             def mk(c):
                 h2d = pad_sequence_2d(c, self.pad, self.TQROWS,
                                       512, extra_right=rp)
-                return jax.device_put(h2d.reshape(-1), self.device)
+                flat = jax.device_put(h2d.reshape(-1), self.device)
+                # (rows, 128) view for the shared-tile q gather (same
+                # bytes; a separate device array because in-jit reshape
+                # of the flat view relayouts the block per call)
+                two = (jax.device_put(h2d, self.device)
+                       if self.qtile else None)
+                return flat, two
 
-            self.q_fw = mk(fw_codes)
-            self.q_rc = mk(rc_codes)
+            self.q_fw, self.q2d_fw = mk(fw_codes)
+            self.q_rc, self.q2d_rc = mk(rc_codes)
         else:
             self.q_fw = jax.device_put(pad_sequence(fw_codes, self.pad, rp),
                                        self.device)
@@ -735,7 +753,8 @@ class DeviceAligner:
             return empty
 
         q_pad = self.q_rc if rev else self.q_fw
-        fins = self._dispatch_rows(ref_loc, query_loc, q_pad, n, tm)
+        fins = self._dispatch_rows(ref_loc, query_loc, q_pad, n, tm,
+                                   rev=rev)
         t0 = time.time()
         # pad the program list to a power of two with all-invalid dummies:
         # _pack_compact then has one executable per size CLASS instead of
@@ -784,7 +803,8 @@ class DeviceAligner:
             self._seg_cache.move_to_end(key)
         return cached
 
-    def _dispatch_rows(self, ref_loc, query_loc, q_pad, n, tm):
+    def _dispatch_rows(self, ref_loc, query_loc, q_pad, n, tm,
+                       rev: bool = False):
         """Row-order extension programs: one fused device program per
         pow2-bucketed subrange of the hit stream."""
         from ..ops.extend_fused import extend_fields_program
@@ -802,18 +822,35 @@ class DeviceAligner:
                          1 << max(12, (rem - 1).bit_length()))
             spans.append((g0, min(g0 + B_prog, n), B_prog))
             g0 += B_prog
+        from ..ops.extend_pallas import gather_qtile_spans_ok, awin_for
+        q2d = None
+        if self.qtile and self.engine in ("pallas", "pallas_interpret"):
+            q2d = self.q2d_rc if rev else self.q2d_fw
         fins = []
         for g0, g1, B_prog in spans:
             t0 = time.time()
             m = g1 - g0
             if m < B_prog:
-                buf_r = np.zeros(B_prog, np.int32)
-                buf_q = np.zeros(B_prog, np.int32)
+                buf_r = np.empty(B_prog, np.int32)
+                buf_q = np.empty(B_prog, np.int32)
                 buf_r[:m] = ref_loc[g0:g1]
                 buf_q[:m] = query_loc[g0:g1]
+                # pad fill = last valid locations: keeps gather addresses
+                # in range AND preserves the sorted q order the qtile
+                # gather requires (the rows are masked done either way)
+                buf_r[m:] = ref_loc[g1 - 1]
+                buf_q[m:] = query_loc[g1 - 1]
             else:
                 buf_r = ref_loc[g0:g1]
                 buf_q = query_loc[g0:g1]
+            use_qtile = False
+            if q2d is not None:
+                # mirror the in-program q_start formula exactly
+                W2 = 2 * self.ext_window
+                qs = np.clip(self.pad + buf_q.astype(np.int64)
+                             - self.ext_window, 0,
+                             q_pad.shape[0] - awin_for(W2))
+                use_qtile = gather_qtile_spans_ok(qs, W2, q2d.shape[0])
             d_r = jax.device_put(buf_r, self.device)
             d_q = jax.device_put(buf_q, self.device)
             tm.add("h2d", time.time() - t0)
@@ -822,13 +859,17 @@ class DeviceAligner:
                 extend_fields_program,
                 self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
+                q2d if use_qtile else None,
                 pad=self.pad, W=self.ext_window, CONT=self.CONT,
                 engine=self.engine, W_CONT=self.W_CONT,
-                UNROLL=self.UNROLL, with_counts=not self.lazy_counts)
+                UNROLL=self.UNROLL, with_counts=not self.lazy_counts,
+                qtile=use_qtile)
             fin = dict(fin, orig=_orig_range(self.device, g0, B_prog))
             _dbg_sync("extend", fin["candidate"])
             fins.append(fin)
             tm.add("extend", time.time() - t0)
+            self.qtile_programs += 1 if use_qtile else 0
+            self.row_programs += 0 if use_qtile else 1
         return fins
 
     def finish_chunk(self, p: PendingChunk) -> ChunkResult:

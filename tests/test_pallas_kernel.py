@@ -146,3 +146,58 @@ def test_mixed_continuation_width_is_exact():
         for k in ("candidate", "rs", "qs", "length", "total", "counts"):
             np.testing.assert_array_equal(np.asarray(base[k]),
                                           np.asarray(other[k]), err_msg=k)
+
+
+def test_qtile_gather_dispatch_parity():
+    """The shared-tile q-side first-window gather (SEGALIGN_QTILE,
+    pallas engines) must be bit-identical to the per-row gather through
+    the full dispatcher, and must actually ENGAGE on dense query-sorted
+    hits (span check passes)."""
+    import os
+    import numpy as np
+    from segalign_tpu.config import make_seed_config
+    from segalign_tpu.pipeline.device import DeviceAligner
+
+    rng = np.random.default_rng(9)
+    sc = make_seed_config("12of19")
+    sub = build_substitution_matrix(910)
+    n = 4000
+    ref = rng.integers(0, 4, n).astype(np.uint8)
+    query = rng.integers(0, 4, n).astype(np.uint8)
+    core = rng.integers(0, 4, 1200).astype(np.uint8)
+    ref[500:1700] = core
+    query[800:2000] = core
+    qrc = np.array([3, 2, 1, 0, 4, 5, 6, 7], np.uint8)[query[::-1]]
+
+    def run(qtile_env):
+        old = os.environ.get("SEGALIGN_QTILE")
+        os.environ["SEGALIGN_QTILE"] = qtile_env
+        try:
+            al = DeviceAligner(
+                shape_pos=sc.shape_pos, seed_size=sc.size,
+                transition=sc.transition, step=1, sub_mat=sub, xdrop=910,
+                hspthresh=1500, noentropy=False, chunk_size=2048,
+                max_hits=10**9, HBUF=4096, B=256, W=128,
+                use_pallas=True)
+            al.set_ref(ref)
+            al.set_query(query, qrc)
+            outs = []
+            for rev in (False, True):
+                outs.append(al.seed_and_filter(0, 2048, rev))
+            return al, outs
+        finally:
+            if old is None:
+                os.environ.pop("SEGALIGN_QTILE", None)
+            else:
+                os.environ["SEGALIGN_QTILE"] = old
+
+    al_on, on = run("1")
+    al_off, off = run("0")
+    if al_on._native_seeder is None:
+        import pytest
+        pytest.skip("native seeder unavailable")
+    assert al_on.qtile_programs > 0   # the tile path actually ran
+    assert al_off.qtile_programs == 0
+    for a, b in zip(on, off):
+        assert a.num_hits == b.num_hits
+        np.testing.assert_array_equal(a.hsps, b.hsps)
