@@ -364,7 +364,7 @@ def _run_tails_joint(seq_r, seq_q, loc_r, loc_q, st_r, na_r, st_l, na_l,
 def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
                         xdrop, ref_len, query_len, *, pad, W,
                         interpret=False, with_counts=True, q2d=None,
-                        qtile=False):
+                        qtile=False, r2d=None, rtile=False):
     """Both directions' first windows off ONE shared gather per sequence.
 
     The per-row DMA issue + aligned-superset extraction is the dominant
@@ -394,8 +394,17 @@ def _first_steps_pallas(seq_r, seq_q, loc_r, loc_q, st_r, st_l, sub_flat,
         # slice-sized (a monolithic 2^18-row first window materialized
         # ~2 GB and measured slower than two 2^17 programs)
         sl = slice(s, s + _GATHER_MAX_ROWS)
-        r2 = _gather_blocked(seq_r, r_start[sl], W=2 * W,
-                             interpret=interpret)
+        if rtile:
+            # r-side shared-tile gather with a BIGGER tile (T=512,
+            # 64 KB): ref positions are unsorted but CLUSTER on the
+            # dense (tandem-repeat) programs where extension time
+            # concentrates — per-block min/max spans verified by the
+            # dispatcher
+            r2 = gather_rows_qtile(r2d, r_start[sl], W=2 * W, T=512,
+                                   interpret=interpret)
+        else:
+            r2 = _gather_blocked(seq_r, r_start[sl], W=2 * W,
+                                 interpret=interpret)
         if qtile:
             # q-side shared-tile gather: the native seeder's hit stream
             # is query-position-sorted, so one small tile DMA serves 128
@@ -478,8 +487,8 @@ def _run_tail(seq_r, seq_q, loc_r, loc_q, st, n_alive, sub_flat, xdrop,
 def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
                  xdrop, hspthresh, ref_len, query_len, *, pad, W, CONT,
                  engine, W_CONT=0, UNROLL=4, with_counts=True, q2d=None,
-                 qtile=False):
-    if qtile:
+                 qtile=False, r2d=None, rtile=False):
+    if qtile or rtile:
         # qtile requires monotone (sorted) q gather addresses: the
         # dispatcher pre-fills invalid suffix rows with the last valid
         # locations, so the raw buffers are safe gather addresses and
@@ -507,7 +516,8 @@ def _extend_core(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
             ref_pad, query_pad, loc_r, loc_q, init_st(-1), init_st(0),
             sub_flat, xdrop, ref_len, query_len, pad=pad, W=W,
             interpret=engine == "pallas_interpret",
-            with_counts=with_counts, q2d=q2d, qtile=qtile)
+            with_counts=with_counts, q2d=q2d, qtile=qtile, r2d=r2d,
+            rtile=rtile)
     else:
         st_r0, na_r = _step(ref_pad, query_pad, loc_r, loc_q,
                             jnp.int32(0), init_st(-1), sub_flat, xdrop,
@@ -558,13 +568,14 @@ def extend_program(ref_pad, query_pad, ref_loc, query_loc, valid, sub_flat,
 @functools.partial(jax.jit,
                    static_argnames=("pad", "W", "CONT", "engine",
                                     "W_CONT", "UNROLL", "with_counts",
-                                    "qtile"))
+                                    "qtile", "rtile"))
 def extend_fields_program(ref_pad, query_pad, ref_loc, query_loc, m,
                           sub_flat, xdrop, hspthresh, ref_len, query_len,
-                          q2d=None, *, pad: int, W: int = 256,
+                          q2d=None, r2d=None, *, pad: int, W: int = 256,
                           CONT: int = 4096, engine: str = "xla",
                           W_CONT: int = 0, UNROLL: int = 4,
-                          with_counts: bool = True, qtile: bool = False):
+                          with_counts: bool = True, qtile: bool = False,
+                          rtile: bool = False):
     """Extend rows [0, m) of an HBUF-sized hit batch; return the raw
     finalize fields dict(candidate, rs, qs, length, total, counts) as
     device arrays. Candidate compaction happens once per chunk-strand
@@ -581,7 +592,8 @@ def extend_fields_program(ref_pad, query_pad, ref_loc, query_loc, m,
                         sub_flat, xdrop, hspthresh, ref_len, query_len,
                         pad=pad, W=W, CONT=CONT, engine=engine,
                         W_CONT=W_CONT, UNROLL=UNROLL,
-                        with_counts=with_counts, q2d=q2d, qtile=qtile)
+                        with_counts=with_counts, q2d=q2d, qtile=qtile,
+                        r2d=r2d, rtile=rtile)
 
 
 @functools.partial(jax.jit,

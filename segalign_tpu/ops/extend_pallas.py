@@ -560,8 +560,12 @@ def gather_rows_qtile(seq2d, starts, *, W: int, BR: int = 128,
     roofline correction)."""
     B = starts.shape[0]
     nblk = B // BR
-    # block base rows from the (sorted) starts: block min = first element
-    bases = (starts[::BR] // ALIGN) * (ALIGN // 128)
+    # block base rows from the per-block MIN start (sortedness is NOT
+    # required — clustered-but-unsorted starts, e.g. ref positions
+    # inside a tandem array, work the same; the caller's span check is
+    # min/max-based)
+    bases = (jnp.min(starts.reshape(nblk, BR), axis=1)
+             // ALIGN) * (ALIGN // 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
@@ -585,17 +589,15 @@ def gather_rows_qtile(seq2d, starts, *, W: int, BR: int = 128,
 def gather_qtile_spans_ok(starts: "np.ndarray", W: int, seq_rows: int,
                           BR: int = 128, T: int = 64) -> bool:
     """Host-side check that every BR-row block's windows fit a (T, 128)
-    tile anchored at the block's first start (numpy, pre-dispatch).
-    Requires sorted starts; also verifies the tile DMA stays inside the
-    padded sequence."""
+    tile anchored at the block's min start (numpy, pre-dispatch; starts
+    need NOT be sorted — clustering is what matters). Also verifies the
+    tile DMA stays inside the padded sequence."""
     import numpy as np
     n = len(starts)
     if n == 0 or n % BR:
         return False
     s = np.asarray(starts).reshape(-1, BR)
-    if np.any(np.diff(np.asarray(starts)) < 0):
-        return False
-    base = (s[:, 0] // ALIGN) * ALIGN
-    if np.any(s[:, -1] + W > base + T * 128):
+    base = (s.min(axis=1) // ALIGN) * ALIGN
+    if np.any(s.max(axis=1) + W > base + T * 128):
         return False
     return bool(np.all(base // 128 + T <= seq_rows))

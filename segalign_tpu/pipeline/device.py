@@ -550,10 +550,15 @@ class DeviceAligner:
             host2d = pad_sequence_2d(ref_codes, self.pad, self.TROWS,
                                      512, extra_right=self.pad + aw)
             self.ref_pad = jax.device_put(host2d.reshape(-1), self.device)
+            # (rows, 128) view for the shared-tile r gather on
+            # ref-clustered (tandem-dense) programs
+            self.ref_2d = (jax.device_put(host2d, self.device)
+                           if self.qtile else None)
         else:
             self.ref_pad = jax.device_put(
                 pad_sequence(ref_codes, self.pad, self.pad + aw),
                 self.device)
+            self.ref_2d = None
         if tables is None:
             tables = build_seed_table(
                 ref_codes, self.step, self.shape_pos, self.seed_size,
@@ -843,14 +848,21 @@ class DeviceAligner:
             else:
                 buf_r = ref_loc[g0:g1]
                 buf_q = query_loc[g0:g1]
-            use_qtile = False
+            use_qtile = use_rtile = False
             if q2d is not None:
-                # mirror the in-program q_start formula exactly
+                # mirror the in-program start formulas exactly
                 W2 = 2 * self.ext_window
                 qs = np.clip(self.pad + buf_q.astype(np.int64)
                              - self.ext_window, 0,
                              q_pad.shape[0] - awin_for(W2))
                 use_qtile = gather_qtile_spans_ok(qs, W2, q2d.shape[0])
+                rs = np.clip(self.pad + buf_r.astype(np.int64)
+                             - self.ext_window, 0,
+                             self.ref_pad.shape[0] - awin_for(W2))
+                # r positions are unsorted but cluster on tandem-dense
+                # programs; a 64 KB tile (T=512) covers those blocks
+                use_rtile = gather_qtile_spans_ok(
+                    rs, W2, self.ref_2d.shape[0], T=512)
             d_r = jax.device_put(buf_r, self.device)
             d_q = jax.device_put(buf_q, self.device)
             tm.add("h2d", time.time() - t0)
@@ -860,10 +872,11 @@ class DeviceAligner:
                 self.ref_pad, q_pad, d_r, d_q, m, self.sub_flat,
                 self.xdrop, self.hspthresh, self.ref_len, self.q_len,
                 q2d if use_qtile else None,
+                self.ref_2d if use_rtile else None,
                 pad=self.pad, W=self.ext_window, CONT=self.CONT,
                 engine=self.engine, W_CONT=self.W_CONT,
                 UNROLL=self.UNROLL, with_counts=not self.lazy_counts,
-                qtile=use_qtile)
+                qtile=use_qtile, rtile=use_rtile)
             fin = dict(fin, orig=_orig_range(self.device, g0, B_prog))
             _dbg_sync("extend", fin["candidate"])
             fins.append(fin)
