@@ -222,6 +222,26 @@ class PendingChunk:
 ORIG_INVALID = 1 << 30
 
 
+def _pow2_rows(host2d: np.ndarray) -> np.ndarray:
+    """Round a (rows, 128) padded sequence up to a power-of-two row
+    count (fill 6 = '&' wall, same as the other pads).
+
+    Sequence buffers are the only genome-sized arrays that appear in
+    executable signatures; without bucketing, EVERY distinct block
+    length recompiles the whole executable set (a 16 Mbp CLI run spent
+    ~20 min in fresh remote compiles). With pow2 buckets, genomes within
+    a factor of two share every executable — at most 2x HBM on the
+    sequence buffers, which are small next to the extension state.
+    Correctness is unaffected: window starts are clamped to the buffer
+    and the in-bounds masks use the TRACED ref_len/query_len scalars."""
+    r = host2d.shape[0]
+    r2 = 1 << (r - 1).bit_length()
+    if r2 == r:
+        return host2d
+    return np.vstack([host2d,
+                      np.full((r2 - r, 128), 6, np.uint8)])
+
+
 def _retry_transient(fn, *args, **kw):
     """Retry a jit call once after a transient remote-compile failure.
 
@@ -547,8 +567,9 @@ class DeviceAligner:
             # not pad_sequence — so sequence shapes and every cached
             # executable stay identical across rounds)
             from ..ops.extend_tiled import pad_sequence_2d
-            host2d = pad_sequence_2d(ref_codes, self.pad, self.TROWS,
-                                     512, extra_right=self.pad + aw)
+            host2d = _pow2_rows(pad_sequence_2d(
+                ref_codes, self.pad, self.TROWS, 512,
+                extra_right=self.pad + aw))
             self.ref_pad = jax.device_put(host2d.reshape(-1), self.device)
             # (rows, 128) view for the shared-tile r gather on
             # ref-clustered (tandem-dense) programs
@@ -585,8 +606,8 @@ class DeviceAligner:
             from ..ops.extend_tiled import pad_sequence_2d
 
             def mk(c):
-                h2d = pad_sequence_2d(c, self.pad, self.TQROWS,
-                                      512, extra_right=rp)
+                h2d = _pow2_rows(pad_sequence_2d(
+                    c, self.pad, self.TQROWS, 512, extra_right=rp))
                 flat = jax.device_put(h2d.reshape(-1), self.device)
                 # (rows, 128) view for the shared-tile q gather (same
                 # bytes; a separate device array because in-jit reshape
