@@ -64,6 +64,16 @@ def _setup_jax_cache():
     cache = os.environ.get("SEGALIGN_JAX_CACHE", "")
     if cache in ("0", "off", "none"):
         return
+    # CPU-only processes (tests, dryruns) skip the persistent cache
+    # entirely: local CPU compiles are fast, and XLA:CPU AOT entries
+    # carry tuning pseudo-features (+prefer-no-gather, ...) that trip
+    # the loader's machine check even on the machine that wrote them.
+    # Accelerator processes — where remote compiles cost tens of
+    # seconds — keep the cache.
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and all(p.strip() == "cpu"
+                     for p in plats.split(",") if p.strip()):
+        return
     if not cache:
         cache = os.path.join(os.path.expanduser("~"), ".cache",
                              "segalign_jax", _machine_tag())
